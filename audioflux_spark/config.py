@@ -1,0 +1,71 @@
+"""Engine configuration — the "schema-on-new" analog.
+
+The reference fixes all operator parameters at object construction time
+(audioFlux `BFT.__init__`, /root/reference/python/audioflux/bft.py:142-227;
+enum-driven config, /root/reference/python/audioflux/type/basic.py:25-392).
+We mirror that: immutable dataclasses constructed once, broadcast to
+executors, consulted by every kernel. No per-call parameter drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class AnalyzerConfig:
+    """Tokenizer contract shared by engine, oracle, and fixtures (FIXTURES.md F4).
+
+    Analog of the reference's WindowType enum (window function chosen at
+    construction, /root/reference/src/dsp/flux_window.c:618-860): the analyzer
+    is the "window function" applied to every document before the transform.
+    """
+
+    lowercase: bool = True
+    # split on anything that is not [a-z0-9_]; token_pattern is the *keep* side
+    token_pattern: str = "[a-z0-9_]+"
+    split_pattern: str = "[^a-z0-9_]+"
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    """BM25 scoring constants (Robertson/Zaragoza; Lucene-style idf).
+
+    score(q, d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    Numeric contract (SURVEY §4.2: the reference's float32+log-floor lesson):
+    kernels compute in float64; ranking ties broken by (conv_id, turn_idx) asc.
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Physical index layout knobs.
+
+    block_size: postings per block-max block (Ding & Suel 2011 use 64-128).
+    hot_term_partials: a term whose number of per-partition partial segments
+        exceeds this gets salted in the two-phase merge (SURVEY §7.1 M3 —
+        the Zipf-hot-term analog of the filterbank's dense hot rows).
+    salt_buckets: fan-out for salted partial merges.
+    build_partitions: target partitions for the segment build (the OMP-block
+        analog, /root/reference/src/stft_algorithm.c:756-787).
+    """
+
+    block_size: int = 128
+    hot_term_partials: int = 8
+    salt_buckets: int = 8
+    build_partitions: int = 32
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    analyzer: AnalyzerConfig = field(default_factory=AnalyzerConfig)
+    bm25: BM25Config = field(default_factory=BM25Config)
+    index: IndexConfig = field(default_factory=IndexConfig)
+
+
+DEFAULT = EngineConfig()
