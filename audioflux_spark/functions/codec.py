@@ -1,0 +1,146 @@
+"""Posting-list codec — vectorized NumPy byte kernels (no per-row Python).
+
+These are the engine's hand-rolled compute kernels, the role audioFlux's C
+vector library plays under its Python API (/root/reference/src/vector/
+flux_vector.c — a NumPy-in-C; we invert: NumPy-as-C). Layout:
+
+* doc ids: strictly increasing int64 → delta gaps (first value stored as
+  gap from ``base``) → LEB128 varint bytes.
+* term freqs and doc lens: raw varint (small positive ints).
+* block metadata: per fixed-size block (IndexConfig.block_size postings):
+  posting count, first docID, and the exact max of the BM25 tf/length
+  normalization over the block (float64) — the "block max" of block-max WAND
+  (Ding & Suel, SIGIR 2011).
+
+All kernels are whole-array vectorized; the only Python-level loops are over
+the ≤10 byte positions of a varint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_SEVEN = np.uint64(7)
+_LOW7 = np.uint64(0x7F)
+_CONT = np.uint8(0x80)
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a 1-D array of non-negative ints (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    lengths = np.ones(n, dtype=np.int64)
+    tmp = v >> _SEVEN
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp >>= _SEVEN
+    max_len = int(lengths.max())
+    out = np.zeros((n, max_len), dtype=np.uint8)
+    cur = v.copy()
+    for i in range(max_len):
+        live = lengths > i
+        byte = (cur & _LOW7).astype(np.uint8)
+        more = lengths > (i + 1)
+        out[:, i] = np.where(live, byte | np.where(more, _CONT, 0), 0)
+        cur >>= _SEVEN
+    mask = np.arange(max_len) < lengths[:, None]
+    return out[mask].tobytes()
+
+
+def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
+    """Decode a LEB128 stream to uint64 (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero((b & _CONT) == 0)
+    n = ends.size
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    group_sizes = ends - starts + 1
+    group = np.repeat(np.arange(n), group_sizes)
+    pos = np.arange(b.size) - starts[group]
+    vals = np.zeros(n, dtype=np.uint64)
+    payload = (b & np.uint8(0x7F)).astype(np.uint64) << (pos.astype(np.uint64) * _SEVEN)
+    np.bitwise_or.at(vals, group, payload)
+    if count is not None and n != count:
+        raise ValueError(f"varint stream held {n} values, expected {count}")
+    return vals
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int = -1) -> np.ndarray:
+    """Strictly-increasing int64 ids → gaps (gap[0] = ids[0] - base - 1 + 1;
+    we use gap[0] = ids[0] - base so base=-1 stores ids[0]+... keep simple:
+    gap[i] = ids[i] - prev, prev starting at ``base``; gaps must be > 0
+    for i>0 and >= 0 for i=0 when base == -1."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty(ids.size, dtype=np.int64)
+    if ids.size == 0:
+        return gaps
+    gaps[0] = ids[0] - base
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    if (gaps[1:] <= 0).any() or gaps[0] < 0:
+        raise ValueError("doc ids must be strictly increasing and >= base")
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray, base: int = -1) -> np.ndarray:
+    g = np.ascontiguousarray(gaps, dtype=np.int64)
+    out = np.cumsum(g)
+    return out + base
+
+
+def encode_postings(doc_ids: np.ndarray, base: int = -1) -> bytes:
+    return varint_encode(delta_encode(doc_ids, base=base))
+
+
+def decode_postings(blob: bytes, count: int, base: int = -1) -> np.ndarray:
+    return delta_decode(varint_decode(blob, count).astype(np.int64), base=base)
+
+
+def rebase_first_gap(blob: bytes, first_doc: int, new_base: int) -> bytes:
+    """Rewrite only the first varint of a delta blob so the list now chains
+    from ``new_base`` — the O(1)-per-boundary merge trick: segment doc ranges
+    are disjoint and ordered, so concatenating partials only needs the first
+    gap of each subsequent partial fixed up."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    ends = np.flatnonzero((b & _CONT) == 0)
+    first_len = int(ends[0]) + 1
+    new_gap = first_doc - new_base
+    if new_gap <= 0:
+        raise ValueError("merge partials out of order: non-positive rebased gap")
+    head = varint_encode(np.array([new_gap], dtype=np.uint64))
+    return head + blob[first_len:]
+
+
+def block_stats(
+    doc_ids: np.ndarray,
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block (count, first_doc, max tf-norm) for block-max pruning.
+
+    The tf-norm is the exact float64 per-posting score factor excluding idf
+    (idf is a per-term constant applied at query time), so
+    block upper bound = idf * block_max — an exact bound.
+    """
+    n = doc_ids.size
+    n_blocks = (n + block_size - 1) // block_size
+    tfn = tf.astype(np.float64) * (k1 + 1.0) / (
+        tf.astype(np.float64)
+        + k1 * (1.0 - b + b * doc_len.astype(np.float64) / avgdl)
+    )
+    counts = np.full(n_blocks, block_size, dtype=np.int32)
+    if n % block_size:
+        counts[-1] = n % block_size
+    firsts = doc_ids[np.arange(n_blocks) * block_size].astype(np.int64)
+    pad = n_blocks * block_size - n
+    padded = np.pad(tfn, (0, pad), constant_values=-np.inf)
+    maxes = padded.reshape(n_blocks, block_size).max(axis=1)
+    return counts, firsts, maxes

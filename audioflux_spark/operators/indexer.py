@@ -1,0 +1,401 @@
+"""Index build — per-partition segment construction + salted hierarchical merge.
+
+Pipeline (the audioFlux pipeline shape, SURVEY §7.0, re-expressed):
+
+  range-partition docs by (conv_id, turn_idx)      | block partitioning
+  assign dense docIDs (offsets + local cumcount)   | implicit positional key
+  per-partition vectorized tokenize + posting build| per-frame C kernels (OMP)
+  delta+varint blobs with block-max metadata       | precomputed tables
+  two-phase salted repartition-by-term merge       | filterbank grouped agg
+  resumable per-partition checkpoints + lineage    | isContinue tail carry
+
+Scale design notes (100 TB / 10^12 turns):
+* docIDs: no global sort materialization — range partition, count per
+  partition (one cheap agg), cumulative offsets on the driver (P integers),
+  then offset+cumcount inside mapInPandas. Deterministic given the input.
+* the ONLY wide op on raw data is the initial repartitionByRange; everything
+  until the merge is partition-local. The merge shuffles *compressed blobs*,
+  not postings rows — ~1-2 bytes per posting instead of ~30.
+* hot terms (Zipf head: 'hotterm' is in 40% of turns) would make
+  groupBy(term) straggle; phase 1 merges within salt buckets
+  (pmod(seg_id, S)), phase 2 merges ≤S pre-merged rows per term. Blob merge
+  is O(1) per boundary (rebase_first_gap) because segment doc ranges are
+  disjoint and ordered by seg_id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from audioflux_spark.config import DEFAULT, EngineConfig
+from audioflux_spark.functions.analyzer import doc_len_col, tokenize_series
+from audioflux_spark.functions.codec import (
+    block_stats,
+    encode_postings,
+    rebase_first_gap,
+    varint_encode,
+)
+from audioflux_spark.plans.checkpoint import (
+    Manifest,
+    PartitionEntry,
+    load_manifest,
+    save_manifest,
+)
+
+PARTIAL_SCHEMA = (
+    "seg_id int, term string, df long, first_doc long, last_doc long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>"
+)
+MERGED_SCHEMA = (
+    "term string, df long, first_doc long, last_doc long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>"
+)
+DOCSTORE_SCHEMA = (
+    "doc_id long, conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp_ntz, doc_len long, seg_id int"
+)
+
+
+@dataclass(frozen=True)
+class IndexMeta:
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    block_size: int
+    n_partitions: int
+    offsets: list[int]
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "IndexMeta":
+        return IndexMeta(**json.loads(s))
+
+
+def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> DataFrame:
+    return (
+        transcripts.repartitionByRange(n_partitions, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+
+def _fingerprints(base_with_pid: DataFrame) -> dict[int, str]:
+    """Order-independent per-partition input fingerprint (count + hash sum)."""
+    rows = (
+        base_with_pid.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("h"),
+        )
+        .collect()
+    )
+    return {int(r["pid"]): f"{int(r['n'])}:{int(r['h'])}" for r in rows}
+
+
+def _offsets_from_counts(fingerprints: dict[int, str], n_partitions: int) -> list[int]:
+    counts = [0] * n_partitions
+    for pid, fp in fingerprints.items():
+        counts[pid] = int(fp.split(":", 1)[0])
+    offsets = [0] * n_partitions
+    run = 0
+    for p in range(n_partitions):
+        offsets[p] = run
+        run += counts[p]
+    return offsets
+
+
+def _make_docstore_fn(offsets: list[int], keep: set[int]):
+    def assign_ids(iterator):
+        local = 0
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            if pid not in keep:
+                return
+            n = len(pdf)
+            out = pdf.rename(columns={"pid": "seg_id"})
+            out.insert(0, "doc_id", np.arange(local, local + n, dtype=np.int64) + offsets[pid])
+            local += n
+            yield out[
+                ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                 "doc_len", "seg_id"]
+            ]
+
+    return assign_ids
+
+
+def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: EngineConfig):
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    block_size = cfg.index.block_size
+
+    def build_segments(iterator):
+        chunks = []
+        for pdf in iterator:
+            if not pdf.empty:
+                chunks.append(pdf)
+        if not chunks:
+            return
+        part = pd.concat(chunks, ignore_index=True)
+        pid = int(part["pid"].iloc[0])
+        if pid not in keep:
+            return
+        toks = tokenize_series(part["text"])
+        doc_len = toks.str.len().to_numpy(dtype=np.int64)
+        doc_ids = offsets[pid] + np.arange(len(part), dtype=np.int64)
+
+        if doc_len.sum() == 0:
+            return
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t]
+        )
+        flat_docs = np.repeat(doc_ids, doc_len)
+        codes, terms = pd.factorize(flat_terms, sort=True)
+        order = np.lexsort((flat_docs, codes))
+        c_s, d_s = codes[order], flat_docs[order]
+        # run-length over (term, doc) pairs → tf
+        change = np.empty(c_s.size, dtype=bool)
+        change[0] = True
+        np.not_equal(c_s[1:], c_s[:-1], out=change[1:])
+        change[1:] |= d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, c_s.size)).astype(np.int64)
+        u_codes, u_docs = c_s[starts], d_s[starts]
+        term_bounds = np.flatnonzero(
+            np.concatenate(([True], u_codes[1:] != u_codes[:-1]))
+        )
+        term_ends = np.append(term_bounds[1:], u_codes.size)
+
+        rows = []
+        local_base = offsets[pid]
+        for s, e in zip(term_bounds, term_ends):
+            t_docs = u_docs[s:e]
+            t_tf = tf[s:e]
+            t_dl = doc_len[t_docs - local_base]
+            counts, firsts, maxes = block_stats(
+                t_docs, t_tf, t_dl, avgdl, k1, b, block_size
+            )
+            rows.append(
+                (
+                    pid,
+                    str(terms[u_codes[s]]),
+                    int(e - s),
+                    int(t_docs[0]),
+                    int(t_docs[-1]),
+                    encode_postings(t_docs),
+                    varint_encode(t_tf.astype(np.uint64)),
+                    varint_encode(t_dl.astype(np.uint64)),
+                    counts.tolist(),
+                    firsts.tolist(),
+                    maxes.tolist(),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "seg_id", "term", "df", "first_doc", "last_doc",
+                "doc_blob", "tf_blob", "dl_blob",
+                "block_counts", "block_firsts", "block_maxes",
+            ],
+        )
+
+    return build_segments
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial segments of one (term[, salt]) group; ranges disjoint,
+    ordered by first_doc; O(1) blob work per boundary."""
+    pdf = pdf.sort_values("first_doc").reset_index(drop=True)
+    if len(pdf) == 1:
+        return pdf[MERGED_COLS]
+    doc_blob = bytearray(pdf["doc_blob"].iloc[0])
+    prev_last = int(pdf["last_doc"].iloc[0])
+    for i in range(1, len(pdf)):
+        fd = int(pdf["first_doc"].iloc[i])
+        doc_blob += rebase_first_gap(pdf["doc_blob"].iloc[i], fd, prev_last)
+        prev_last = int(pdf["last_doc"].iloc[i])
+    out = {
+        "term": [pdf["term"].iloc[0]],
+        "df": [int(pdf["df"].sum())],
+        "first_doc": [int(pdf["first_doc"].iloc[0])],
+        "last_doc": [int(pdf["last_doc"].iloc[-1])],
+        "doc_blob": [bytes(doc_blob)],
+        "tf_blob": [b"".join(pdf["tf_blob"])],
+        "dl_blob": [b"".join(pdf["dl_blob"])],
+        "block_counts": [np.concatenate([np.asarray(x) for x in pdf["block_counts"]]).astype(np.int32)],
+        "block_firsts": [np.concatenate([np.asarray(x) for x in pdf["block_firsts"]]).astype(np.int64)],
+        "block_maxes": [np.concatenate([np.asarray(x) for x in pdf["block_maxes"]]).astype(np.float64)],
+    }
+    return pd.DataFrame(out)
+
+
+MERGED_COLS = [
+    "term", "df", "first_doc", "last_doc", "doc_blob", "tf_blob", "dl_blob",
+    "block_counts", "block_firsts", "block_maxes",
+]
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    resume: bool = True,
+) -> IndexMeta:
+    """Build (or resume) the inverted index at index_dir.
+
+    Layout: meta.json, manifest.json, docstore/ (parquet, partitioned by
+    seg_id), segments_partial/ (parquet, partitioned by seg_id),
+    segments/ (merged, range-partitioned + sorted by term).
+    """
+    P = cfg.index.build_partitions
+    os.makedirs(index_dir, exist_ok=True)
+
+    # corpus stats — no explode, pure JVM
+    row = transcripts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(doc_len_col("text", cfg.analyzer).cast("long")).alias("total"),
+    ).first()
+    n_docs = int(row["n"])
+    avgdl = (int(row["total"]) / n_docs) if n_docs else 0.0
+
+    base = _partitioned_base(transcripts, P).persist()
+    with_pid = base.withColumn("pid", F.spark_partition_id())
+    fps = _fingerprints(with_pid)
+    offsets = _offsets_from_counts(fps, P)
+
+    manifest = load_manifest(index_dir) if resume else Manifest()
+    done = manifest.completed_for(fps)
+    missing = sorted(set(fps) - done)
+
+    partial_dir = os.path.join(index_dir, "segments_partial")
+    docstore_dir = os.path.join(index_dir, "docstore")
+
+    if missing:
+        keep = set(missing)
+        # clean any half-written output for missing pids (idempotent re-run)
+        for d in (partial_dir, docstore_dir):
+            for pid in missing:
+                sub = os.path.join(d, f"seg_id={pid}")
+                if os.path.exists(sub):
+                    shutil.rmtree(sub)
+
+        ds_src = with_pid.withColumn(
+            "doc_len", doc_len_col("text", cfg.analyzer).cast("long")
+        )
+        ds_src.mapInPandas(
+            _make_docstore_fn(offsets, keep), schema=DOCSTORE_SCHEMA
+        ).write.partitionBy("seg_id").mode("append").parquet(docstore_dir)
+
+        with_pid.mapInPandas(
+            _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
+        ).write.partitionBy("seg_id").mode("append").parquet(partial_dir)
+
+        # lineage metrics per freshly-built partition
+        stats = (
+            spark.read.parquet(partial_dir)
+            .filter(F.col("seg_id").isin(missing))
+            .groupBy("seg_id")
+            .agg(
+                F.count(F.lit(1)).alias("terms"),
+                F.sum("df").alias("postings"),
+                F.sum(
+                    F.octet_length("doc_blob")
+                    + F.octet_length("tf_blob")
+                    + F.octet_length("dl_blob")
+                ).alias("bytes"),
+            )
+            .collect()
+        )
+        stat_by_pid = {int(r["seg_id"]): r for r in stats}
+        for pid in missing:
+            r = stat_by_pid.get(pid)
+            manifest.entries[pid] = PartitionEntry(
+                partition_id=pid,
+                input_fingerprint=fps[pid],
+                status="done",
+                terms=int(r["terms"]) if r else 0,
+                postings=int(r["postings"]) if r else 0,
+                bytes=int(r["bytes"]) if r else 0,
+                output_path=f"segments_partial/seg_id={pid}",
+            )
+        mean_postings = (
+            sum(e.postings for e in manifest.entries.values()) / max(len(manifest.entries), 1)
+        )
+        for e in manifest.entries.values():
+            e.skew_ratio = (e.postings / mean_postings) if mean_postings else 0.0
+        save_manifest(index_dir, manifest)
+
+    base.unpersist()
+
+    # ---- merge phase: two-phase salted repartition-by-term ----
+    merge_segments(spark, index_dir, cfg)
+
+    meta = IndexMeta(
+        n_docs=n_docs,
+        avgdl=avgdl,
+        k1=cfg.bm25.k1,
+        b=cfg.bm25.b,
+        block_size=cfg.index.block_size,
+        n_partitions=P,
+        offsets=offsets,
+    )
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        f.write(meta.to_json())
+    return meta
+
+
+def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT) -> None:
+    partial_dir = os.path.join(index_dir, "segments_partial")
+    out_dir = os.path.join(index_dir, "segments")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    partials = spark.read.parquet(partial_dir)
+    S = cfg.index.salt_buckets
+    P = cfg.index.build_partitions
+    hot = (
+        partials.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_partials"))
+        .filter(F.col("n_partials") > cfg.index.hot_term_partials)
+        .select("term", F.lit(True).alias("is_hot"))
+    )
+    # salt must chunk seg_ids CONTIGUOUSLY (floor(seg_id*S/P), not seg_id%S):
+    # the O(1) blob merge relies on phase-1 outputs covering disjoint, ordered
+    # doc-id ranges, and seg_id order == doc-range order.
+    salted = (
+        partials.join(F.broadcast(hot), on="term", how="left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot"),
+                F.floor(F.col("seg_id").cast("long") * S / P).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("is_hot")
+    )
+    phase1 = salted.groupBy("term", "salt").applyInPandas(
+        lambda pdf: _merge_group(pdf), schema=MERGED_SCHEMA
+    )
+    merged = phase1.groupBy("term").applyInPandas(
+        lambda pdf: _merge_group(pdf), schema=MERGED_SCHEMA
+    )
+    (
+        merged.repartitionByRange(max(cfg.index.build_partitions // 4, 1), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
