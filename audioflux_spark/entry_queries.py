@@ -1,0 +1,664 @@
+"""Driver-facing query surface: Spark implementations + DuckDB oracle SQL.
+
+Every entry runs the engine's operators over the driver's star-schema tables
+(/root/testdata/sf*/...), adapted to the transcripts shape where relevant
+(sources/transcripts.documents_as_transcripts), and carries an ANSI-SQL twin
+the driver executes in DuckDB for row/schema/value-hash comparison.
+
+Float discipline: every fractional value is exported as CAST(ROUND(x*1e6) AS
+BIGINT) (`*_e6` columns) in BOTH engines, so value hashes compare integers —
+the engines' last-ulp differences (different sum orders, different libm) stay
+far below the 1e-6 grid.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from audioflux_spark.config import DEFAULT
+from audioflux_spark.functions.analyzer import doc_len_col, tokens_col
+from audioflux_spark.operators.indexer import build_index
+from audioflux_spark.operators.tokenize import corpus_stats, doc_stats, term_freqs
+from audioflux_spark.operators.topk import bm25_topk_exhaustive
+from audioflux_spark.operators.wand import bm25_topk_indexed
+from audioflux_spark.sources.segments import IndexReader
+from audioflux_spark.sources.transcripts import documents_as_transcripts
+
+K1, B = DEFAULT.bm25.k1, DEFAULT.bm25.b
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+
+# ---------------------------------------------------------------- helpers
+
+_TOK_SQL = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), x -> x <> '')) AS term FROM documents"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+
+
+def _e6(col) -> F.Column:
+    return F.round(col * F.lit(1000000.0)).cast("long")
+
+
+_READERS: dict[str, IndexReader] = {}
+
+
+def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
+    """Build (once per sf_dir, resumable) an index over documents-as-
+    transcripts; cached across queries in the same session."""
+    if sf_dir not in _READERS:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        idx = os.path.join("/tmp/afspark_entry_idx", tag)
+        t = documents_as_transcripts(spark, sf_dir)
+        build_index(spark, t, idx, resume=True)
+        _READERS[sf_dir] = IndexReader(spark, idx)
+    return _READERS[sf_dir]
+
+
+def _topk_to_docids(df: DataFrame) -> DataFrame:
+    """(conv_id='doc-%08d', turn_idx, score) → (doc_id, score_e6), preserving
+    the engine's total order (docID order == conv_id order)."""
+    return df.select(
+        F.substring("conv_id", 5, 12).cast("long").alias("doc_id"),
+        _e6(F.col("score")).alias("score_e6"),
+    )
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    terms_in = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(doc_len) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+idf AS (SELECT term, ln(1 + ((SELECT n_docs FROM corpus) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * {K1 + 1.0} /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM corpus)))) AS score
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------- engine core
+
+
+def q_bm25_topk_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed block-max WAND over hot terms (every term is Zipf-hot here)."""
+    return _topk_to_docids(bm25_topk_indexed(_reader(spark, sf_dir), "join hash row", 20))
+
+
+def q_bm25_topk_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed WAND, rare+hot conjunction ('dup' has df≈5% of corpus)."""
+    return _topk_to_docids(bm25_topk_indexed(_reader(spark, sf_dir), "dup the", 25))
+
+
+def q_bm25_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst exhaustive scoring path (no index) — same semantics."""
+    t = documents_as_transcripts(spark, sf_dir)
+    tf_df = term_freqs(t)
+    ds_df = doc_stats(t)
+    stats = corpus_stats(t)
+    return _topk_to_docids(
+        bm25_topk_exhaustive(tf_df, ds_df, stats, "dup window", 15)
+    )
+
+
+def q_term_doc_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", doc_len_col("text").cast("long").alias("doc_len"))
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    return tok.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_terms"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_docs)) * 1e6).cast("long").alias("avgdl_e6"),
+    )
+
+
+def q_top_docs_by_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_doc_lengths(spark, sf_dir)
+        .orderBy(F.desc("doc_len"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir)
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("n_types"),
+        F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("stop_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        _e6(F.col("n_types") / F.col("n_tokens")).alias("ttr_e6"),
+        _e6(F.col("stop_tokens") / F.col("n_tokens")).alias("stop_ratio_e6"),
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (stopword-hit scoring)."""
+    tok = _doc_tokens(spark, sf_dir)
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("en_hits")
+        )
+        .select(
+            "doc_id",
+            "en_hits",
+            F.when(F.col("en_hits") >= 1, "en").otherwise("unk").alias("predicted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct-token set."""
+    tok = _doc_tokens(spark, sf_dir).distinct()
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.md5(F.concat_ws(" ", F.array_sort(F.collect_set("term")))).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("text_hash")
+    )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per doc, built JVM-side (no Python)."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokens_col("text").alias("toks")
+    )
+    return (
+        toks.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: top-50 candidate pairs by 3-shingle Jaccard.
+    Scale path: the shingle self-join is the LSH-free baseline; hot shingles
+    are bounded because shingles are near-unique (vocab^3 space)."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") * 1e6 / (F.col("na") + F.col("nb") - F.col("inter")))
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+        .orderBy(F.desc("jaccard_e6"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+N_MINHASH = 8
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-shingles: 8 'permutations' via salted md5,
+    lexicographic min (portable to any engine with md5). Signature digest per
+    doc; banding/bucketing of these signatures is the LSH candidate step."""
+    sh = _shingles(spark, sf_dir)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j} "), F.col("shingle")))).alias(f"m{j}")
+        for j in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[F.col(f"m{j}") for j in range(N_MINHASH)])).alias("minhash_sig"),
+    ).orderBy("doc_id")
+
+
+N_SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: bit b = sign of Σ_tokens (±1 by parity of md5 hex char
+    b+1). tf-weighted automatically (sum over occurrences)."""
+    tok = _doc_tokens(spark, sf_dir).withColumn("h", F.md5("term"))
+    bit_sums = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- embeddings
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine_topk(spark, sf_dir, restrict_label: bool) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv"), F.col("label").alias("qlabel")
+    )
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("ev"))
+    j = e.crossJoin(F.broadcast(q))
+    if restrict_label:
+        j = j.filter(F.col("label") == F.col("qlabel"))
+    cos = _dot(F.col("ev"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        j.select("vec_id", _e6(cos).alias("cos_e6"))
+        .orderBy(F.desc("cos_e6"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs vec_id=0 (all JVM: zip_with + aggregate)."""
+    return _cosine_topk(spark, sf_dir, restrict_label=False)
+
+
+def q_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucket-pruned ANN: search only the query's cluster (label)."""
+    return _cosine_topk(spark, sf_dir, restrict_label=True)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    return e.select("vec_id", _e6(F.sqrt(_dot(F.col("ev"), F.col("ev")))).alias("norm_e6")).orderBy("vec_id")
+
+
+# -------------------------------------------------------------------- events
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts").cast("timestamp")), "yyyy-MM-dd HH").alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _e6(F.sum("value")).alias("sum_value_e6"))
+        .orderBy("event_type", "hour")
+    )
+
+
+def q_events_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .limit(20)
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag window + cumulative flag —
+    the engine's stateful-sequence analog of the reference's onset 'wait'
+    (min-distance) rule."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------- per-doc stats (Spectral analog)
+
+
+def q_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each doc's term distribution — spectral entropy
+    (/root/reference/src/feature/spectral_algorithm.c:399) over terms."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("L"), F.sum(F.col("tf") * F.log("tf")).alias("tlogt")
+    )
+    return per_doc.select(
+        "doc_id",
+        _e6(F.log("L") - F.col("tlogt") / F.col("L")).alias("entropy_e6"),
+    ).orderBy("doc_id")
+
+
+def q_doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc max/argmax over the term axis — the reference's per-frame
+    max + argmax-frequency (spectral_algorithm.c:855)."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    mx = tf.groupBy("doc_id").agg(
+        F.max("tf").alias("max_tf"), F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2")
+    )
+    return (
+        tf.join(mx, "doc_id")
+        .filter(F.col("tf") == F.col("max_tf"))
+        .groupBy("doc_id", "max_tf", "sum_tf2")
+        .agg(F.min("term").alias("top_term"))
+        .select("doc_id", "max_tf", "top_term", "sum_tf2")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def _minhash_sql() -> str:
+    mins = ",\n    ".join(
+        f"min(md5(concat('{j} ', shingle))) AS m{j}" for j in range(N_MINHASH)
+    )
+    concat_cols = ", ".join(f"m{j}" for j in range(N_MINHASH))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+SELECT doc_id, md5(concat_ws('|', {concat_cols})) AS minhash_sig
+FROM sig ORDER BY doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ascii(substr(md5(term), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(N_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(N_SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+agg AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+def _cosine_sql(restrict_label: bool) -> str:
+    where = "WHERE e.label = (SELECT label FROM embeddings WHERE vec_id = 0)" if restrict_label else ""
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT vec_id,
+       CAST(ROUND(list_dot_product(ev, qv) /
+            (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) * 1000000) AS BIGINT) AS cos_e6
+FROM e, q {where}
+ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return {
+        "bm25_topk_hot": _bm25_sql(["join", "hash", "row"], 20),
+        "bm25_topk_rare": _bm25_sql(["dup", "the"], 25),
+        "bm25_topk_exhaustive": _bm25_sql(["dup", "window"], 15),
+        "term_doc_freqs": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
+FROM tok GROUP BY term ORDER BY term
+""",
+        "doc_lengths": f"""
+WITH tok AS ({_TOK_SQL}),
+c AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.c, 0)::BIGINT AS doc_len
+FROM documents d LEFT JOIN c USING (doc_id) ORDER BY d.doc_id
+""",
+        "corpus_stats": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       count(*) AS total_tokens,
+       count(DISTINCT term) AS distinct_terms,
+       CAST(ROUND(count(*)::DOUBLE / (SELECT count(*) FROM documents) * 1000000) AS BIGINT) AS avgdl_e6
+FROM tok
+""",
+        "top_docs_by_len": f"""
+WITH tok AS ({_TOK_SQL}),
+c AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.c, 0)::BIGINT AS doc_len
+FROM documents d LEFT JOIN c USING (doc_id)
+ORDER BY doc_len DESC, d.doc_id LIMIT 20
+""",
+        "text_quality": f"""
+WITH tok AS ({_TOK_SQL}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, count(DISTINCT term) AS n_types,
+         CAST(sum(CASE WHEN term IN ({stop_in}) THEN 1 ELSE 0 END) AS BIGINT) AS stop_tokens
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       CAST(ROUND(n_types::DOUBLE / n_tokens * 1000000) AS BIGINT) AS ttr_e6,
+       CAST(ROUND(stop_tokens::DOUBLE / n_tokens * 1000000) AS BIGINT) AS stop_ratio_e6
+FROM agg ORDER BY doc_id
+""",
+        "lang_id": f"""
+WITH tok AS ({_TOK_SQL})
+SELECT doc_id,
+       CAST(sum(CASE WHEN term IN ({stop_in}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+       CASE WHEN sum(CASE WHEN term IN ({stop_in}) THEN 1 ELSE 0 END) >= 1
+            THEN 'en' ELSE 'unk' END AS predicted
+FROM tok GROUP BY doc_id ORDER BY doc_id
+""",
+        "token_fingerprint": f"""
+WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}))
+SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
+FROM tok GROUP BY doc_id ORDER BY doc_id
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY text_hash
+""",
+        "dedup_shingle_jaccard": """
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_e6
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard_e6 DESC, doc_a, doc_b LIMIT 50
+""",
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "ann_topk_cosine": _cosine_sql(False),
+        "ann_ivf_label": _cosine_sql(True),
+        "embedding_norms": """
+SELECT vec_id,
+       CAST(ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000) AS BIGINT) AS norm_e6
+FROM embeddings ORDER BY vec_id
+""",
+        "events_hourly": """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       count(*) AS n, CAST(ROUND(sum(value) * 1000000) AS BIGINT) AS sum_value_e6
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        "events_user_topk": """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
+""",
+        "events_sessionize": """
+WITH e AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t FROM events),
+g AS (
+  SELECT user_id,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+""",
+        "term_entropy": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+per_doc AS (SELECT doc_id, sum(tf) AS L, sum(tf * ln(tf)) AS tlogt FROM tf GROUP BY doc_id)
+SELECT doc_id, CAST(ROUND((ln(L) - tlogt / L) * 1000000) AS BIGINT) AS entropy_e6
+FROM per_doc ORDER BY doc_id
+""",
+        "doc_tf_stats": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+mx AS (SELECT doc_id, max(tf) AS max_tf, sum(tf * tf) AS sum_tf2 FROM tf GROUP BY doc_id)
+SELECT tf.doc_id, mx.max_tf, min(tf.term) AS top_term, CAST(mx.sum_tf2 AS BIGINT) AS sum_tf2
+FROM tf JOIN mx ON tf.doc_id = mx.doc_id AND tf.tf = mx.max_tf
+GROUP BY tf.doc_id, mx.max_tf, mx.sum_tf2 ORDER BY tf.doc_id
+""",
+    }
+
+
+def queries():
+    return {
+        "bm25_topk_hot": q_bm25_topk_hot,
+        "bm25_topk_rare": q_bm25_topk_rare,
+        "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
+        "term_doc_freqs": q_term_doc_freqs,
+        "doc_lengths": q_doc_lengths,
+        "corpus_stats": q_corpus_stats,
+        "top_docs_by_len": q_top_docs_by_len,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_fingerprint": q_token_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_ivf_label": q_ann_ivf_label,
+        "embedding_norms": q_embedding_norms,
+        "events_hourly": q_events_hourly,
+        "events_user_topk": q_events_user_topk,
+        "events_sessionize": q_events_sessionize,
+        "term_entropy": q_term_entropy,
+        "doc_tf_stats": q_doc_tf_stats,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: build the inverted index over sf0.001 documents (resumable,
+    cached) and answer a BM25 top-k via block-max WAND."""
+    return q_bm25_topk_hot(spark, "/root/testdata/sf0.001")

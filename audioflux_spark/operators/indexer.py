@@ -342,7 +342,9 @@ def build_index(
     base.unpersist()
 
     # ---- merge phase: two-phase salted repartition-by-term ----
-    merge_segments(spark, index_dir, cfg)
+    # skip when resuming an untouched, fully-merged index
+    if missing or not os.path.exists(os.path.join(index_dir, "segments")):
+        merge_segments(spark, index_dir, cfg)
 
     meta = IndexMeta(
         n_docs=n_docs,

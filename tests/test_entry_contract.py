@@ -1,0 +1,64 @@
+"""Driver-contract rehearsal: run each __spark_entry__.queries() entry on
+Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
+column names, and order-insensitive values — the driver's own gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return (
+        pdf.sort_values(list(pdf.columns))
+        .reset_index(drop=True)
+        .astype(str)
+    )
+
+
+ALL = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_query_matches_oracle(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sqls = entry_mod.oracle_sql()
+    assert name in sqls, f"{name} has no oracle"
+    got = q(spark, SF_DIR).toPandas()
+    want = duck.sql(sqls[name]).df()
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    mism = (g != w).any(axis=1)
+    assert not mism.any(), (
+        f"{name}: value mismatch\n{g[mism].head()}\nvs\n{w[mism].head()}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns == ["doc_id", "score_e6"]
