@@ -37,12 +37,7 @@ from pyspark.sql import functions as F
 
 from audioflux_spark.config import DEFAULT, EngineConfig
 from audioflux_spark.functions.analyzer import doc_len_col, tokenize_series
-from audioflux_spark.functions.codec import (
-    block_stats,
-    encode_postings,
-    rebase_first_gap,
-    varint_encode,
-)
+from audioflux_spark.functions.codec import encode_segment_batch, rebase_first_gap
 from audioflux_spark.plans.checkpoint import (
     Manifest,
     PartitionEntry,
@@ -75,13 +70,17 @@ class IndexMeta:
     block_size: int
     n_partitions: int
     offsets: list[int]
+    total_tokens: int = 0  # exact Σ doc_len (for exact cross-generation avgdl)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
 
     @staticmethod
     def from_json(s: str) -> "IndexMeta":
-        return IndexMeta(**json.loads(s))
+        d = json.loads(s)
+        if not d.get("total_tokens"):
+            d["total_tokens"] = round(d["avgdl"] * d["n_docs"])
+        return IndexMeta(**d)
 
 
 def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> DataFrame:
@@ -117,25 +116,34 @@ def _offsets_from_counts(fingerprints: dict[int, str], n_partitions: int) -> lis
     return offsets
 
 
-def _make_docstore_fn(offsets: list[int], keep: set[int]):
-    def assign_ids(iterator):
-        local = 0
-        for pdf in iterator:
-            if pdf.empty:
-                continue
-            pid = int(pdf["pid"].iloc[0])
-            if pid not in keep:
-                return
-            n = len(pdf)
-            out = pdf.rename(columns={"pid": "seg_id"})
-            out.insert(0, "doc_id", np.arange(local, local + n, dtype=np.int64) + offsets[pid])
-            local += n
-            yield out[
-                ["doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
-                 "doc_len", "seg_id"]
-            ]
+def _docstore_df(with_pid: DataFrame, offsets: list[int], keep: set[int], cfg: EngineConfig) -> DataFrame:
+    """Dense docID assignment, pure JVM (no Python round-trip of the text):
+    doc_id = offset[pid] + row-in-partition, where row-in-partition is the
+    low 33 bits of monotonically_increasing_id() (its documented layout:
+    partition_index << 33 | row_in_partition) over the sorted, persisted base.
+    """
+    from itertools import chain
 
-    return assign_ids
+    offset_map = F.create_map(
+        *chain.from_iterable(
+            (F.lit(p), F.lit(o)) for p, o in enumerate(offsets)
+        )
+    )
+    keep_list = sorted(keep)
+    return (
+        with_pid.withColumn("doc_len", doc_len_col("text", cfg.analyzer).cast("long"))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        .withColumn(
+            "doc_id",
+            offset_map[F.col("pid")]
+            + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .filter(F.col("pid").isin(keep_list))
+        .select(
+            "doc_id", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "doc_len", F.col("pid").alias("seg_id"),
+        )
+    )
 
 
 def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: EngineConfig):
@@ -179,73 +187,117 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
         )
         term_ends = np.append(term_bounds[1:], u_codes.size)
 
-        rows = []
         local_base = offsets[pid]
-        for s, e in zip(term_bounds, term_ends):
-            t_docs = u_docs[s:e]
-            t_tf = tf[s:e]
-            t_dl = doc_len[t_docs - local_base]
-            counts, firsts, maxes = block_stats(
-                t_docs, t_tf, t_dl, avgdl, k1, b, block_size
+        posting_dl = doc_len[u_docs - local_base]
+        doc_blobs, tf_blobs, dl_blobs, b_counts, b_firsts, b_maxes = (
+            encode_segment_batch(
+                u_docs, tf, posting_dl, term_bounds, avgdl, k1, b, block_size
             )
-            rows.append(
-                (
-                    pid,
-                    str(terms[u_codes[s]]),
-                    int(e - s),
-                    int(t_docs[0]),
-                    int(t_docs[-1]),
-                    encode_postings(t_docs),
-                    varint_encode(t_tf.astype(np.uint64)),
-                    varint_encode(t_dl.astype(np.uint64)),
-                    counts.tolist(),
-                    firsts.tolist(),
-                    maxes.tolist(),
-                )
-            )
+        )
+        n_terms = term_bounds.size
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "seg_id", "term", "df", "first_doc", "last_doc",
-                "doc_blob", "tf_blob", "dl_blob",
-                "block_counts", "block_firsts", "block_maxes",
-            ],
+            {
+                "seg_id": np.full(n_terms, pid, dtype=np.int32),
+                "term": np.asarray(terms)[u_codes[term_bounds]],
+                "df": (term_ends - term_bounds).astype(np.int64),
+                "first_doc": u_docs[term_bounds],
+                "last_doc": u_docs[term_ends - 1],
+                "doc_blob": doc_blobs,
+                "tf_blob": tf_blobs,
+                "dl_blob": dl_blobs,
+                "block_counts": b_counts,
+                "block_firsts": b_firsts,
+                "block_maxes": b_maxes,
+            }
         )
 
     return build_segments
-
-
-def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Merge partial segments of one (term[, salt]) group; ranges disjoint,
-    ordered by first_doc; O(1) blob work per boundary."""
-    pdf = pdf.sort_values("first_doc").reset_index(drop=True)
-    if len(pdf) == 1:
-        return pdf[MERGED_COLS]
-    doc_blob = bytearray(pdf["doc_blob"].iloc[0])
-    prev_last = int(pdf["last_doc"].iloc[0])
-    for i in range(1, len(pdf)):
-        fd = int(pdf["first_doc"].iloc[i])
-        doc_blob += rebase_first_gap(pdf["doc_blob"].iloc[i], fd, prev_last)
-        prev_last = int(pdf["last_doc"].iloc[i])
-    out = {
-        "term": [pdf["term"].iloc[0]],
-        "df": [int(pdf["df"].sum())],
-        "first_doc": [int(pdf["first_doc"].iloc[0])],
-        "last_doc": [int(pdf["last_doc"].iloc[-1])],
-        "doc_blob": [bytes(doc_blob)],
-        "tf_blob": [b"".join(pdf["tf_blob"])],
-        "dl_blob": [b"".join(pdf["dl_blob"])],
-        "block_counts": [np.concatenate([np.asarray(x) for x in pdf["block_counts"]]).astype(np.int32)],
-        "block_firsts": [np.concatenate([np.asarray(x) for x in pdf["block_firsts"]]).astype(np.int64)],
-        "block_maxes": [np.concatenate([np.asarray(x) for x in pdf["block_maxes"]]).astype(np.float64)],
-    }
-    return pd.DataFrame(out)
 
 
 MERGED_COLS = [
     "term", "df", "first_doc", "last_doc", "doc_blob", "tf_blob", "dl_blob",
     "block_counts", "block_firsts", "block_maxes",
 ]
+
+
+def _make_merge_stream(key_cols: list[str], chunk_terms: int = 4096):
+    """mapInPandas kernel merging ALL groups in a partition in one pass.
+
+    Input must be partitioned by key_cols; the kernel re-sorts by
+    (key_cols..., first_doc) and walks group boundaries with NumPy — per-group
+    work is a few bytes ops (the O(1) first-gap rebase), not a pandas
+    DataFrame construction, which is what makes this ~100x cheaper than a
+    per-group applyInPandas at vocabulary scale (50k+ groups/partition).
+    """
+
+    def merge_stream(iterator):
+        chunks = [pdf for pdf in iterator if not pdf.empty]
+        if not chunks:
+            return
+        part = pd.concat(chunks, ignore_index=True)
+        part.sort_values([*key_cols, "first_doc"], inplace=True, ignore_index=True)
+        n = len(part)
+        keys = [part[c].to_numpy() for c in key_cols]
+        change = np.ones(n, dtype=bool)
+        if n > 1:
+            acc = np.zeros(n - 1, dtype=bool)
+            for arr in keys:
+                acc |= arr[1:] != arr[:-1]
+            change[1:] = acc
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+
+        term = part["term"].to_numpy()
+        df_a = part["df"].to_numpy()
+        fd = part["first_doc"].to_numpy()
+        ld = part["last_doc"].to_numpy()
+        dblob = part["doc_blob"].to_numpy()
+        tblob = part["tf_blob"].to_numpy()
+        lblob = part["dl_blob"].to_numpy()
+        bc = part["block_counts"].to_numpy()
+        bf = part["block_firsts"].to_numpy()
+        bm = part["block_maxes"].to_numpy()
+
+        out = {c: [] for c in MERGED_COLS}
+        emitted = 0
+        for s, e in zip(starts, ends):
+            if e - s == 1:
+                out["doc_blob"].append(bytes(dblob[s]))
+                out["tf_blob"].append(bytes(tblob[s]))
+                out["dl_blob"].append(bytes(lblob[s]))
+                out["df"].append(int(df_a[s]))
+                out["block_counts"].append(np.asarray(bc[s], dtype=np.int32))
+                out["block_firsts"].append(np.asarray(bf[s], dtype=np.int64))
+                out["block_maxes"].append(np.asarray(bm[s], dtype=np.float64))
+            else:
+                db = bytearray(dblob[s])
+                for i in range(s + 1, e):
+                    db += rebase_first_gap(bytes(dblob[i]), int(fd[i]), int(ld[i - 1]))
+                out["doc_blob"].append(bytes(db))
+                out["tf_blob"].append(b"".join(bytes(x) for x in tblob[s:e]))
+                out["dl_blob"].append(b"".join(bytes(x) for x in lblob[s:e]))
+                out["df"].append(int(df_a[s:e].sum()))
+                out["block_counts"].append(
+                    np.concatenate([np.asarray(x) for x in bc[s:e]]).astype(np.int32)
+                )
+                out["block_firsts"].append(
+                    np.concatenate([np.asarray(x) for x in bf[s:e]]).astype(np.int64)
+                )
+                out["block_maxes"].append(
+                    np.concatenate([np.asarray(x) for x in bm[s:e]]).astype(np.float64)
+                )
+            out["term"].append(term[s])
+            out["first_doc"].append(int(fd[s]))
+            out["last_doc"].append(int(ld[e - 1]))
+            emitted += 1
+            if emitted >= chunk_terms:
+                yield pd.DataFrame(out)
+                out = {c: [] for c in MERGED_COLS}
+                emitted = 0
+        if emitted:
+            yield pd.DataFrame(out)
+
+    return merge_stream
 
 
 def build_index(
@@ -293,12 +345,9 @@ def build_index(
                 if os.path.exists(sub):
                     shutil.rmtree(sub)
 
-        ds_src = with_pid.withColumn(
-            "doc_len", doc_len_col("text", cfg.analyzer).cast("long")
-        )
-        ds_src.mapInPandas(
-            _make_docstore_fn(offsets, keep), schema=DOCSTORE_SCHEMA
-        ).write.partitionBy("seg_id").mode("append").parquet(docstore_dir)
+        _docstore_df(with_pid, offsets, keep, cfg).write.partitionBy(
+            "seg_id"
+        ).mode("append").parquet(docstore_dir)
 
         with_pid.mapInPandas(
             _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
@@ -354,6 +403,7 @@ def build_index(
         block_size=cfg.index.block_size,
         n_partitions=P,
         offsets=offsets,
+        total_tokens=int(row["total"]) if row["total"] else 0,
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         f.write(meta.to_json())
@@ -389,15 +439,22 @@ def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFA
         )
         .drop("is_hot")
     )
-    phase1 = salted.groupBy("term", "salt").applyInPandas(
-        lambda pdf: _merge_group(pdf), schema=MERGED_SCHEMA
+    Q = max(cfg.index.build_partitions // 2, 1)
+    # phase 1: merge within (term, salt) buckets — bounds the partials any
+    # single task sees for a Zipf-hot term to P/S. Persisted so the range
+    # sampler below doesn't recompute the heavy shuffle.
+    p1 = (
+        salted.repartition(Q, "term", "salt")
+        .mapInPandas(_make_merge_stream(["term", "salt"]), schema=MERGED_SCHEMA)
+        .persist()
     )
-    merged = phase1.groupBy("term").applyInPandas(
-        lambda pdf: _merge_group(pdf), schema=MERGED_SCHEMA
-    )
-    (
-        merged.repartitionByRange(max(cfg.index.build_partitions // 4, 1), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    # phase 2 IS the final range partitioning: repartitionByRange(term) puts
+    # every term's ≤S pre-merged rows in one partition, the kernel merges
+    # them, and the kernel's sorted-by-term output order makes each parquet
+    # file a term range → `term IN (...)` prunes files/row groups at query
+    # time. One shuffle, no extra global sort.
+    merged = p1.repartitionByRange(
+        max(cfg.index.build_partitions // 4, 1), "term"
+    ).mapInPandas(_make_merge_stream(["term"]), schema=MERGED_SCHEMA)
+    merged.write.mode("overwrite").parquet(out_dir)
+    p1.unpersist()

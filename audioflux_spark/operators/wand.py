@@ -38,18 +38,24 @@ from audioflux_spark.sources.segments import IndexReader
 _EPS = 1e-9
 
 
-def _decode_term(row, avgdl: float, k1: float, b: float, n_docs: int):
-    """Segment row → (doc_ids, contributions, block_firsts, block_ends, block_ubs)."""
+def _decode_term(row, avgdl: float, k1: float, b: float, idf: float, ub_scale: float):
+    """Segment row → (doc_ids, contributions, block_firsts, block_ends, block_ubs).
+
+    ``idf`` is supplied by the caller (GLOBAL df across index generations, not
+    the row's per-generation df). ``ub_scale ≥ 1`` widens the stored block
+    maxes when the query-time avgdl exceeds the build-time avgdl of this
+    row's generation (tf-norm is monotone increasing in avgdl, bounded by the
+    avgdl ratio) — keeps the bounds safe for incremental indexes.
+    """
     n = int(row["df"])
     doc_ids = decode_postings(bytes(row["doc_blob"]), n)
     tf = varint_decode(bytes(row["tf_blob"]), n).astype(np.float64)
     dl = varint_decode(bytes(row["dl_blob"]), n).astype(np.float64)
-    idf = idf_value(n_docs, n)
     contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     firsts = np.asarray(row["block_firsts"], dtype=np.int64)
     counts = np.asarray(row["block_counts"], dtype=np.int64)
     ends = doc_ids[np.cumsum(counts) - 1]  # last doc id of each block
-    ubs = idf * np.asarray(row["block_maxes"], dtype=np.float64)
+    ubs = idf * ub_scale * np.asarray(row["block_maxes"], dtype=np.float64)
     return doc_ids, contrib, firsts, ends, ubs
 
 
@@ -60,13 +66,22 @@ def wand_topk_kernel(
     k1: float,
     b: float,
     k: int,
+    idfs: list[float] | None = None,
+    ub_scale: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned top-k. Returns (doc_ids, scores) sorted by
-    (score desc, doc_id asc); len ≤ k."""
+    (score desc, doc_id asc); len ≤ k. idfs defaults to per-row Lucene idf
+    from (n_docs, row df) — pass explicit values for multi-generation
+    indexes where df is global."""
     if not term_rows or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    if idfs is None:
+        idfs = [idf_value(n_docs, int(r["df"])) for r in term_rows]
 
-    terms = [_decode_term(r, avgdl, k1, b, n_docs) for r in term_rows]
+    terms = [
+        _decode_term(r, avgdl, k1, b, i, ub_scale)
+        for r, i in zip(term_rows, idfs)
+    ]
 
     # elementary intervals from the union of block boundaries
     points = np.unique(
@@ -124,33 +139,71 @@ def wand_topk_kernel(
 
 def bm25_topk_indexed(reader: IndexReader, query_text: str, k: int = 10) -> DataFrame:
     """Single-query top-k via the compressed index; returns
-    (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order."""
+    (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
+
+    Multi-generation: each generation runs its own WAND with GLOBAL stats
+    (N, avgdl, df summed over generations — scores are exact global BM25);
+    per-gen top-k candidates are then merged under the total order. Keeping
+    k per generation is sufficient: within a generation docID order is
+    (conv_id, turn_idx) order, so any dropped boundary-tied doc is dominated
+    by k kept docs from its own generation.
+    """
     spark = reader.spark
-    meta = reader.meta
+    k1, b = reader.meta.k1, reader.meta.b
     terms = query_terms(query_text)
     empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
-    if not terms:
+    if not terms or k <= 0:
         return empty
-    rows = reader.segments.filter(F.col("term").isin(terms)).collect()
-    if not rows:
+
+    gen_rows = [
+        g.segments.filter(F.col("term").isin(terms)).collect()
+        for g in reader.generations
+    ]
+    n_docs, avgdl = reader.n_docs, reader.avgdl
+    global_df: dict[str, int] = {}
+    for rows in gen_rows:
+        for r in rows:
+            global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
+    if not global_df:
         return empty
-    doc_ids, scores = wand_topk_kernel(
-        rows, meta.n_docs, meta.avgdl, meta.k1, meta.b, k
-    )
-    if doc_ids.size == 0:
+
+    cands = []
+    for g, rows in zip(reader.generations, gen_rows):
+        if not rows:
+            continue
+        idfs = [idf_value(n_docs, global_df[r["term"]]) for r in rows]
+        ub_scale = max(1.0, avgdl / g.meta.avgdl) if g.meta.avgdl else 1.0
+        doc_ids, scores = wand_topk_kernel(
+            rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale
+        )
+        if doc_ids.size == 0:
+            continue
+        # docID order IS (conv_id, turn_idx) order within a generation.
+        # doc_id IN (...) pushes to the docstore parquet scan (docIDs sorted
+        # within each seg_id dir → row-group min/max pruning): ~k row groups
+        # read, not the corpus.
+        keys = (
+            g.docstore.filter(F.col("doc_id").isin(doc_ids.tolist()))
+            .select("doc_id", "conv_id", "turn_idx")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        cands.append(
+            pd.DataFrame(
+                {
+                    "conv_id": keys.loc[doc_ids, "conv_id"].to_numpy(),
+                    "turn_idx": keys.loc[doc_ids, "turn_idx"].to_numpy(),
+                    "score": scores,
+                }
+            )
+        )
+    if not cands:
         return empty
-    hits = spark.createDataFrame(
-        pd.DataFrame({"doc_id": doc_ids, "score": scores, "rank": np.arange(doc_ids.size)})
-    )
-    # docID order IS (conv_id, turn_idx) order (dense ids assigned in range-
-    # partitioned sort order), so rank is already the final total order.
-    out = (
-        reader.docstore.join(F.broadcast(hits), on="doc_id")
-        .select("conv_id", "turn_idx", "score", "rank")
-        .orderBy("rank")
-        .drop("rank")
-    )
-    return out
+    out = pd.concat(cands, ignore_index=True)
+    out = out.sort_values(
+        ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
+    ).head(k)
+    return spark.createDataFrame(out, schema="conv_id string, turn_idx int, score double")
 
 
 def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> DataFrame:
@@ -162,38 +215,77 @@ def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> 
     join whose probe side is pruned by term min/max); the shuffle that feeds
     applyInPandas carries only matching blobs.
     """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
     spark = reader.spark
-    meta = reader.meta
+    k1, b = reader.meta.k1, reader.meta.b
+    n_docs, avgdl = reader.n_docs, reader.avgdl
+    gen_avgdl = {g.gen_id: g.meta.avgdl for g in reader.generations}
+
     qrows = []
     for qid, text, k in queries:
         for t in query_terms(text):
             qrows.append((qid, t, k))
+    empty = spark.createDataFrame(
+        [], "query_id string, conv_id string, turn_idx int, score double, rank int"
+    )
     if not qrows:
-        return spark.createDataFrame(
-            [], "query_id string, conv_id string, turn_idx int, score double, rank int"
-        )
+        return empty
     qdf = spark.createDataFrame(qrows, "query_id string, term string, k int")
-    joined = reader.segments.join(F.broadcast(qdf), on="term")
-
-    n_docs, avgdl, k1, b = meta.n_docs, meta.avgdl, meta.k1, meta.b
+    seg_union = reduce(
+        DataFrame.unionByName,
+        [g.segments.withColumn("gen", F.lit(g.gen_id)) for g in reader.generations],
+    )
+    joined = seg_union.join(F.broadcast(qdf), on="term")
 
     def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
-        rows = [pdf.iloc[i] for i in range(len(pdf))]
-        doc_ids, scores = wand_topk_kernel(rows, n_docs, avgdl, k1, b, k)
-        return pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[0],
-                "doc_id": doc_ids,
-                "score": scores,
-                "rank": np.arange(doc_ids.size, dtype=np.int32),
-            }
-        )
+        # global df per term = sum over generations (a term appears at most
+        # once per generation)
+        gdf = pdf.groupby("term")["df"].sum().to_dict()
+        outs = []
+        for gen_id, sub in pdf.groupby("gen"):
+            rows = [sub.iloc[i] for i in range(len(sub))]
+            idfs = [idf_value(n_docs, int(gdf[r["term"]])) for r in rows]
+            ga = gen_avgdl.get(int(gen_id), avgdl)
+            ub_scale = max(1.0, avgdl / ga) if ga else 1.0
+            doc_ids, scores = wand_topk_kernel(
+                rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"].iloc[0],
+                        "gen": int(gen_id),
+                        "doc_id": doc_ids,
+                        "score": scores,
+                        "k": k,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     hits = joined.groupBy("query_id").applyInPandas(
-        score_group, schema="query_id string, doc_id long, score double, rank int"
+        score_group,
+        schema="query_id string, gen int, doc_id long, score double, k int",
+    )
+    ds_union = reduce(
+        DataFrame.unionByName,
+        [
+            g.docstore.select(
+                F.lit(g.gen_id).alias("gen"), "doc_id", "conv_id", "turn_idx"
+            )
+            for g in reader.generations
+        ],
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
     )
     return (
-        hits.join(reader.docstore.select("doc_id", "conv_id", "turn_idx"), on="doc_id")
+        hits.join(ds_union, on=["gen", "doc_id"])
+        .withColumn("rank", F.row_number().over(w) - 1)
+        .filter(F.col("rank") < F.col("k"))
         .select("query_id", "conv_id", "turn_idx", "score", "rank")
     )

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.json north rule).
+
+Measures, at the transcripts fixture SF tier:
+  * index build wall time + indexed turns/sec (the build-throughput metric)
+  * BM25 top-k p50/p95 latency over the fixture query set (WAND path)
+  * throughput at TWO parallelism levels (local[N/4] vs local[N]) on the SAME
+    input → scaling efficiency (the in-sandbox restatement of the N vs 4N
+    executor-cluster criterion)
+plus per-query seconds for a sample of the driver-table queries at
+$SPARK_GRAFT_SF_DIR.
+
+Discipline adopted from the reference (/root/reference/benchmark/README.md:
+49-57): warm-up and object construction excluded, input scale disclosed,
+absolute seconds reported. Prints ONE JSON line.
+
+Usage: python bench.py            (driver mode)
+       python bench.py --worker-build --cores N --fixture DIR   (internal)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FIXTURE_SF = os.environ.get("AFSPARK_BENCH_SF", "0.1")
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+
+def _build_once(cores: int, fixture_dir: str, index_dir: str) -> dict:
+    """One timed index build at a given parallelism (fresh session + dir)."""
+    from audioflux_spark import get_spark
+    from audioflux_spark.operators.indexer import build_index
+    from audioflux_spark.sources.transcripts import read_transcripts
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    spark = get_spark(f"bench-build-{cores}", cores=cores, shuffle_partitions=cores)
+    t = read_transcripts(spark, fixture_dir)
+    n_turns = t.count()  # warm-up: JVM up, file listed, scan primed
+    t0 = time.perf_counter()
+    build_index(spark, t, index_dir, resume=False)
+    build_sec = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "turns": n_turns, "build_sec": build_sec,
+            "turns_per_sec": n_turns / build_sec}
+
+
+def worker_main(args) -> None:
+    res = _build_once(args.cores, args.fixture, f"/tmp/afspark_bench_idx_c{args.cores}")
+    print("WORKER_RESULT " + json.dumps(res))
+
+
+def main() -> None:
+    from audioflux_spark import get_spark
+    from audioflux_spark.fixtures import fixture_dir, gen_queries
+    import pandas as pd
+
+    fx = fixture_dir(FIXTURE_SF)  # generation excluded from all timings
+
+    results: dict = {"sf": FIXTURE_SF, "sf_dir": SF_DIR, "cores": CPUS}
+    queries_sec: dict[str, float] = {}
+
+    # ---- build throughput at full parallelism ----
+    build = _build_once(CPUS, fx, "/tmp/afspark_bench_idx_main")
+    results["build_sec"] = round(build["build_sec"], 3)
+    results["turns"] = build["turns"]
+    results["turns_per_sec"] = round(build["turns_per_sec"], 1)
+    queries_sec["index_build"] = round(build["build_sec"], 3)
+
+    # ---- query latency over the fixture query set ----
+    from audioflux_spark.operators.wand import bm25_topk_indexed
+    from audioflux_spark.sources.segments import IndexReader
+
+    spark = get_spark("bench-query", cores=CPUS, shuffle_partitions=CPUS)
+    reader = IndexReader(spark, "/tmp/afspark_bench_idx_main")
+    tr = pd.read_parquet(os.path.join(fx, "transcripts.parquet"))
+    qs = gen_queries(tr)
+    for q in qs[:3]:  # warm-up, excluded
+        bm25_topk_indexed(reader, q.query_text, q.k).collect()
+    lat = []
+    for q in qs:
+        t0 = time.perf_counter()
+        bm25_topk_indexed(reader, q.query_text, q.k).collect()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(int(len(lat) * 0.95), len(lat) - 1)]
+    results["query_p50_sec"] = round(p50, 4)
+    results["query_p95_sec"] = round(p95, 4)
+    queries_sec["bm25_topk_p95"] = round(p95, 4)
+
+    # ---- sample driver-table queries at SF_DIR ----
+    import audioflux_spark.entry_queries as eq
+
+    for name in ["term_doc_freqs", "dedup_shingle_jaccard", "dedup_minhash",
+                 "ann_topk_cosine", "events_sessionize", "term_entropy"]:
+        fn = eq.queries()[name]
+        fn(spark, SF_DIR).collect()  # warm-up
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        queries_sec[name] = round(time.perf_counter() - t0, 4)
+    spark.stop()
+
+    # ---- scaling: same job, same input, N/4 vs N cores (subprocesses so
+    # each measurement gets a fresh single-level JVM) ----
+    if not SKIP_SCALING:
+        low = max(CPUS // 4, 1)
+        scal = {}
+        for c in (low, CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-build",
+                 "--cores", str(c), "--fixture", fx],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+                raise RuntimeError(f"scaling worker cores={c} failed")
+            scal[c] = json.loads(line[-1][len("WORKER_RESULT "):])
+        tp_low, tp_high = scal[low]["turns_per_sec"], scal[CPUS]["turns_per_sec"]
+        eff = tp_high / (tp_low * (CPUS / low))
+        results["scaling"] = {
+            "cores_low": low, "cores_high": CPUS,
+            "turns_per_sec_low": round(tp_low, 1),
+            "turns_per_sec_high": round(tp_high, 1),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps({
+        "metric": "index_build_sec_sf" + FIXTURE_SF,
+        "value": results["build_sec"],
+        "unit": "sec",
+        "queries": queries_sec,
+        **results,
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker-build", action="store_true")
+    ap.add_argument("--cores", type=int, default=CPUS)
+    ap.add_argument("--fixture", type=str, default="")
+    a = ap.parse_args()
+    if a.worker_build:
+        worker_main(a)
+    else:
+        main()
