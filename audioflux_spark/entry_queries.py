@@ -410,6 +410,112 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type standardization — the reference's scale ops
+    (/root/reference/python/audioflux/utils/scale.py:17-254: stand scale)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            ((F.col("value") - F.mean("value").over(w)) / F.stddev_pop("value").over(w)).alias("z"),
+        )
+        .select("event_id", "event_type", _e6(F.col("z")).alias("z_e6"))
+        .orderBy("event_id")
+    )
+
+
+def q_events_sliding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic sliding window (5-wide trailing max per user) — the
+    reference's __vmaxfilter (/root/reference/src/vector/flux_vector.h:104)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(-4, 0)
+    return (
+        ev.select("event_id", _e6(F.max("value").over(w)).alias("max5_e6"))
+        .orderBy("event_id")
+    )
+
+
+def q_events_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Σ|Δvalue| + max Δ — spectral flux
+    (/root/reference/src/feature/spectral_algorithm.c:250: Σ|s(t)-s(t-1)|)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.withColumn("delta", F.col("value") - F.lag("value").over(w)).filter(
+        F.col("delta").isNotNull()
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            _e6(F.sum(F.abs("delta"))).alias("flux_e6"),
+            _e6(F.max("delta")).alias("max_delta_e6"),
+            F.count(F.lit(1)).alias("n_deltas"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty between consecutive docs of a source (1 - token-set Jaccard) —
+    the reference's novelty curve (/root/reference/src/mir/onset_algorithm.c:
+    259) over a document sequence."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    seq = docs.select(
+        "source", "doc_id", F.lag("doc_id").over(w).alias("prev_id")
+    ).filter(F.col("prev_id").isNotNull())
+    tok = _doc_tokens(spark, sf_dir).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.select(F.col("doc_id").alias("doc_id"), F.col("term"))
+    tb = tok.select(F.col("doc_id").alias("prev_id"), F.col("term"))
+    inter = (
+        seq.join(ta, "doc_id")
+        .join(tb, ["prev_id", "term"])
+        .groupBy("source", "doc_id", "prev_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("prev_id"), F.col("n").alias("nb"))
+    return (
+        seq.join(inter, ["source", "doc_id", "prev_id"], "left")
+        .join(sa, "doc_id")
+        .join(sb, "prev_id")
+        .select(
+            "source",
+            "doc_id",
+            _e6(
+                F.lit(1.0)
+                - F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("novelty_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — relational breadth check."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2026-06-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _e6(F.sum("l_quantity")).alias("sum_qty_e6"),
+            _e6(F.sum("l_extendedprice")).alias("sum_base_e6"),
+            _e6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 # ------------------------------------------- per-doc stats (Spectral analog)
 
 
@@ -613,6 +719,67 @@ g AS (
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """,
+        "events_value_zscore": """
+SELECT event_id, event_type,
+       CAST(ROUND((value - avg(value) OVER (PARTITION BY event_type))
+            / stddev_pop(value) OVER (PARTITION BY event_type) * 1000000) AS BIGINT) AS z_e6
+FROM events ORDER BY event_id
+""",
+        "events_sliding_max": """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events)
+SELECT event_id,
+       CAST(ROUND(max(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS max5_e6
+FROM e ORDER BY event_id
+""",
+        "events_delta_stats": """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events),
+d AS (
+  SELECT user_id,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS delta
+  FROM e
+)
+SELECT user_id,
+       CAST(ROUND(sum(abs(delta)) * 1000000) AS BIGINT) AS flux_e6,
+       CAST(ROUND(max(delta) * 1000000) AS BIGINT) AS max_delta_e6,
+       count(*) AS n_deltas
+FROM d WHERE delta IS NOT NULL GROUP BY user_id ORDER BY user_id
+""",
+        "source_novelty": f"""
+WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL})),
+sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+seq AS (
+  SELECT source, doc_id,
+         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_id
+  FROM documents
+),
+seq2 AS (SELECT * FROM seq WHERE prev_id IS NOT NULL),
+inter AS (
+  SELECT s.source, s.doc_id, s.prev_id, count(*) AS inter
+  FROM seq2 s
+  JOIN tok a ON a.doc_id = s.doc_id
+  JOIN tok b ON b.doc_id = s.prev_id AND b.term = a.term
+  GROUP BY s.source, s.doc_id, s.prev_id
+)
+SELECT s.source, s.doc_id,
+       CAST(ROUND((1.0 - coalesce(i.inter, 0)::DOUBLE /
+            (sa.n + sb.n - coalesce(i.inter, 0))) * 1000000) AS BIGINT) AS novelty_e6
+FROM seq2 s
+LEFT JOIN inter i ON i.doc_id = s.doc_id AND i.prev_id = s.prev_id
+JOIN sizes sa ON sa.doc_id = s.doc_id
+JOIN sizes sb ON sb.doc_id = s.prev_id
+ORDER BY s.doc_id
+""",
+        "lineitem_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(sum(l_quantity) * 1000000) AS BIGINT) AS sum_qty_e6,
+       CAST(ROUND(sum(l_extendedprice) * 1000000) AS BIGINT) AS sum_base_e6,
+       CAST(ROUND(sum(l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) AS sum_disc_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2026-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
         "term_entropy": f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -653,6 +820,11 @@ def queries():
         "events_hourly": q_events_hourly,
         "events_user_topk": q_events_user_topk,
         "events_sessionize": q_events_sessionize,
+        "events_value_zscore": q_events_value_zscore,
+        "events_sliding_max": q_events_sliding_max,
+        "events_delta_stats": q_events_delta_stats,
+        "source_novelty": q_source_novelty,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,
     }
