@@ -79,14 +79,16 @@ def _topk_to_docids(df: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_sql(terms: list[str], k: int) -> str:
+def _bm25_sql(terms: list[str], k: int, where: str = "") -> str:
     terms_in = ", ".join(f"'{t}'" for t in terms)
+    pred = f"WHERE {where}" if where else ""
     return f"""
-WITH tok AS ({_TOK_SQL}),
+WITH docs_f AS (SELECT * FROM documents {pred}),
+tok AS ({_TOK_SQL.replace("FROM documents", "FROM docs_f")}),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM tok GROUP BY doc_id),
 corpus AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
-         (SELECT sum(doc_len) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM docs_f)::DOUBLE AS n_docs,
+         (SELECT sum(doc_len) FROM dl) / (SELECT count(*) FROM docs_f) AS avgdl
 ),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
        WHERE term IN ({terms_in}) GROUP BY doc_id, term),
@@ -125,6 +127,19 @@ def q_bm25_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = corpus_stats(t)
     return _topk_to_docids(
         bm25_topk_exhaustive(tf_df, ds_df, stats, "dup window", 15)
+    )
+
+
+def q_bm25_topk_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-filtered search (the reference's band-edge predicate,
+    /root/reference/python/audioflux/feature/spectral.py:61-118, as a WHERE):
+    the filter pushes into the parquet scan; the engine then runs on the
+    sub-corpus, so scores are the sub-corpus BM25 (documented semantics)."""
+    t = documents_as_transcripts(spark, sf_dir, where="lang = 'en'")
+    return _topk_to_docids(
+        bm25_topk_exhaustive(
+            term_freqs(t), doc_stats(t), corpus_stats(t), "join hash", 15
+        )
     )
 
 
@@ -500,6 +515,21 @@ def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Viterbi decoding of event values under a fixed 2-state
+    Gaussian HMM (/root/reference/src/classic/viterbi.c analog). Iterative DP
+    — not SQL-expressible, so no oracle (driver records rows-only)."""
+    from audioflux_spark.operators.sequence import viterbi_decode
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value")
+    )
+    return (
+        viterbi_decode(ev, "user_id", ["event_id"], "value")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — relational breadth check."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -611,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_hot": _bm25_sql(["join", "hash", "row"], 20),
         "bm25_topk_rare": _bm25_sql(["dup", "the"], 25),
         "bm25_topk_exhaustive": _bm25_sql(["dup", "window"], 15),
+        "bm25_topk_lang_filtered": _bm25_sql(["join", "hash"], 15, where="lang = 'en'"),
         "term_doc_freqs": f"""
 WITH tok AS ({_TOK_SQL})
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
@@ -803,6 +834,7 @@ def queries():
         "bm25_topk_hot": q_bm25_topk_hot,
         "bm25_topk_rare": q_bm25_topk_rare,
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
+        "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
         "term_doc_freqs": q_term_doc_freqs,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,
@@ -824,6 +856,7 @@ def queries():
         "events_sliding_max": q_events_sliding_max,
         "events_delta_stats": q_events_delta_stats,
         "source_novelty": q_source_novelty,
+        "viterbi_states": q_viterbi_states,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,

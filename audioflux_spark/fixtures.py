@@ -130,11 +130,12 @@ def gen_queries(transcripts: pd.DataFrame, seed: int = SEED) -> list[Query]:
         [t for row in toks for t in set(row)], dtype=object
     ).value_counts()
     regular = df_counts[df_counts.index.str.startswith("term")]
-    rare = sorted(regular[(regular >= 1) & (regular <= 5)].index)[:3]
-    mid_lo = int(regular.median())
-    mids = sorted(
-        regular[(regular >= max(2, mid_lo)) & (regular <= mid_lo * 4 + 8)].index
-    )[:5]
+    # scale-relative selection: rarest / median-df terms of THIS corpus
+    by_df = regular.iloc[np.lexsort((regular.index, regular.to_numpy()))]
+    rare = sorted(by_df.index[:3])
+    med = float(regular.median())
+    dist = (regular - med).abs()
+    mids = sorted(regular.iloc[np.lexsort((regular.index, dist.to_numpy()))].index[:5])
 
     qs: list[Query] = []
 

@@ -46,11 +46,16 @@ def read_transcripts(spark: SparkSession, source: str) -> DataFrame:
     return df
 
 
-def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_as_transcripts(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """Adapt the driver's `documents` star-schema table to the transcripts
     shape (one document == one single-turn conversation) so every engine
-    operator runs unmodified over /root/testdata."""
+    operator runs unmodified over /root/testdata. ``where`` is a pushdown
+    predicate over the raw documents columns (lang, source, n_chars...)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if where:
+        docs = docs.filter(where)
     return docs.select(
         F.format_string("doc-%08d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
