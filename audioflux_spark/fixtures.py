@@ -41,7 +41,7 @@ TIE_TEXT = "tie tie tie"
 HOTTERM = "hotterm"
 HOTTERM_P = 0.4
 
-SF_TO_NCONVS = {"0.001": 500, "0.01": 5_000, "0.1": 50_000}
+SF_TO_NCONVS = {"0.001": 500, "0.01": 5_000, "0.1": 50_000, "0.3": 150_000}
 
 
 def _zipf_probs(vocab_size: int = VOCAB_SIZE, s: float = ZIPF_S) -> np.ndarray:
@@ -173,7 +173,12 @@ def fixture_dir(sf: str, root: str | None = None) -> str:
     if not os.path.exists(marker):
         os.makedirs(out, exist_ok=True)
         pdf = gen_transcripts(SF_TO_NCONVS[sf])
-        pdf.to_parquet(os.path.join(out, "transcripts.parquet"), index=False)
+        # small row groups so Spark scan splits parallelize (a single-row-
+        # group file serializes the whole read into one task)
+        pdf.to_parquet(
+            os.path.join(out, "transcripts.parquet"), index=False,
+            row_group_size=20_000,
+        )
         with open(marker, "w") as f:
             f.write("ok")
     return out

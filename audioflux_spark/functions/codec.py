@@ -110,15 +110,25 @@ def rebase_first_gap(blob: bytes, first_doc: int, new_base: int) -> bytes:
     """Rewrite only the first varint of a delta blob so the list now chains
     from ``new_base`` — the O(1)-per-boundary merge trick: segment doc ranges
     are disjoint and ordered, so concatenating partials only needs the first
-    gap of each subsequent partial fixed up."""
-    b = np.frombuffer(blob, dtype=np.uint8)
-    ends = np.flatnonzero((b & _CONT) == 0)
-    first_len = int(ends[0]) + 1
+    gap of each subsequent partial fixed up.
+
+    Pure-bytes implementation: this runs once per (term, partial) boundary —
+    millions of calls per merge — where NumPy's per-call overhead (~10µs)
+    would dominate the whole merge stage."""
     new_gap = first_doc - new_base
     if new_gap <= 0:
         raise ValueError("merge partials out of order: non-positive rebased gap")
-    head = varint_encode(np.array([new_gap], dtype=np.uint64))
-    return head + blob[first_len:]
+    i = 0
+    while blob[i] & 0x80:
+        i += 1
+    head = bytearray()
+    while True:
+        b7 = new_gap & 0x7F
+        new_gap >>= 7
+        head.append(b7 | (0x80 if new_gap else 0))
+        if not new_gap:
+            break
+    return bytes(head) + blob[i + 1 :]
 
 
 def encode_segment_batch(
@@ -185,6 +195,60 @@ def encode_segment_batch(
     block_maxes = np.split(maxes_flat, blk_bounds)
     assert len(block_counts) == n_terms
     return doc_blobs, tf_blobs, dl_blobs, block_counts, block_firsts, block_maxes
+
+
+def encode_segment_batch_flat(
+    doc_ids: np.ndarray,
+    tf: np.ndarray,
+    doc_len: np.ndarray,
+    term_starts: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> dict:
+    """Like encode_segment_batch but returns FLAT buffers + per-term offset
+    arrays instead of per-term Python lists — callers build Arrow Binary/List
+    arrays directly from (offsets, values) with ZERO per-term Python objects.
+    This is what keeps the kernel memory-bandwidth-light at high parallelism.
+    """
+    n = doc_ids.size
+    term_ends = np.append(term_starts[1:], n)
+
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+    gaps[term_starts] = doc_ids[term_starts] + 1
+    doc_buf, doc_lens_b = varint_encode_with_lengths(gaps.astype(np.uint64))
+    tf_buf, tf_lens_b = varint_encode_with_lengths(tf.astype(np.uint64))
+    dl_buf, dl_lens_b = varint_encode_with_lengths(doc_len.astype(np.uint64))
+
+    def _offsets(buf: bytes, lens: np.ndarray) -> np.ndarray:
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = np.empty(term_starts.size + 1, dtype=np.int32)
+        out[:-1] = starts[term_starts]
+        out[-1] = len(buf)
+        return out
+
+    local_ix = np.arange(n) - np.repeat(term_starts, term_ends - term_starts)
+    blk_starts = np.flatnonzero((local_ix % block_size) == 0)
+    blk_ends = np.append(blk_starts[1:], n)
+    tfn = tf.astype(np.float64) * (k1 + 1.0) / (
+        tf.astype(np.float64) + k1 * (1.0 - b + b * doc_len.astype(np.float64) / avgdl)
+    )
+    blocks_per_term = ((term_ends - term_starts) + block_size - 1) // block_size
+    block_offsets = np.empty(term_starts.size + 1, dtype=np.int32)
+    block_offsets[0] = 0
+    np.cumsum(blocks_per_term, out=block_offsets[1:])
+    return {
+        "doc_buf": doc_buf, "doc_offsets": _offsets(doc_buf, doc_lens_b),
+        "tf_buf": tf_buf, "tf_offsets": _offsets(tf_buf, tf_lens_b),
+        "dl_buf": dl_buf, "dl_offsets": _offsets(dl_buf, dl_lens_b),
+        "counts_flat": (blk_ends - blk_starts).astype(np.int32),
+        "firsts_flat": doc_ids[blk_starts].astype(np.int64),
+        "maxes_flat": (np.maximum.reduceat(tfn, blk_starts) if n else np.zeros(0)),
+        "block_offsets": block_offsets,
+    }
 
 
 def block_stats(

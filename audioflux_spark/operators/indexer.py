@@ -36,8 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from audioflux_spark.config import DEFAULT, EngineConfig
-from audioflux_spark.functions.analyzer import doc_len_col, tokenize_series
-from audioflux_spark.functions.codec import encode_segment_batch, rebase_first_gap
+from audioflux_spark.functions.analyzer import doc_len_col
+from audioflux_spark.functions.codec import encode_segment_batch_flat, rebase_first_gap
 from audioflux_spark.plans.checkpoint import (
     Manifest,
     PartitionEntry,
@@ -90,18 +90,24 @@ def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> DataFrame:
     )
 
 
-def _fingerprints(base_with_pid: DataFrame) -> dict[int, str]:
-    """Order-independent per-partition input fingerprint (count + hash sum)."""
+def _partition_stats(base_with_pid: DataFrame, cfg: EngineConfig):
+    """ONE pass over the persisted base: per-partition fingerprint (count +
+    order-independent hash) AND corpus token totals — the build's only
+    full-corpus aggregation job."""
     rows = (
         base_with_pid.groupBy("pid")
         .agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent and overflow-free under ANSI mode
             F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("h"),
+            F.sum(doc_len_col("text", cfg.analyzer).cast("long")).alias("tok"),
         )
         .collect()
     )
-    return {int(r["pid"]): f"{int(r['n'])}:{int(r['h'])}" for r in rows}
+    fps = {int(r["pid"]): f"{int(r['n'])}:{int(r['h'])}" for r in rows}
+    n_docs = sum(int(r["n"]) for r in rows)
+    total_tokens = sum(int(r["tok"]) for r in rows if r["tok"] is not None)
+    return fps, n_docs, total_tokens
 
 
 def _offsets_from_counts(fingerprints: dict[int, str], n_partitions: int) -> list[int]:
@@ -147,68 +153,109 @@ def _docstore_df(with_pid: DataFrame, offsets: list[int], keep: set[int], cfg: E
 
 
 def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: EngineConfig):
+    """Arrow-native segment kernel (mapInArrow).
+
+    Everything stays in Arrow buffers / primitive NumPy: RE2 tokenization
+    (utf8_lower + split_pattern_regex), dictionary-encode for term codes,
+    and Binary/List output arrays built directly from (offsets, flat values).
+    Zero Python string objects, zero per-term slicing — the earlier pandas
+    kernel was memory-bandwidth-bound at 32-way parallelism (object arrays +
+    factorize thrash the allocator; measured 2.7-5x degradation).
+    """
+    import pyarrow as pa
+
     k1, b = cfg.bm25.k1, cfg.bm25.b
     block_size = cfg.index.block_size
+    split_pat = cfg.analyzer.split_pattern
+    lowercase = cfg.analyzer.lowercase
 
-    def build_segments(iterator):
-        chunks = []
-        for pdf in iterator:
-            if not pdf.empty:
-                chunks.append(pdf)
-        if not chunks:
+    out_schema = pa.schema(
+        [
+            ("seg_id", pa.int32()),
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()),
+            ("dl_blob", pa.binary()),
+            ("block_counts", pa.list_(pa.int32())),
+            ("block_firsts", pa.list_(pa.int64())),
+            ("block_maxes", pa.list_(pa.float64())),
+        ]
+    )
+
+    def build_segments(batches):
+        import pyarrow.compute as pc
+
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
             return
-        part = pd.concat(chunks, ignore_index=True)
-        pid = int(part["pid"].iloc[0])
+        pid = int(tbl.column("pid")[0].as_py())
         if pid not in keep:
             return
-        toks = tokenize_series(part["text"])
-        doc_len = toks.str.len().to_numpy(dtype=np.int64)
-        doc_ids = offsets[pid] + np.arange(len(part), dtype=np.int64)
-
-        if doc_len.sum() == 0:
+        texts = tbl.column("text").combine_chunks()
+        if lowercase:
+            texts = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(texts, pattern=split_pat)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        if len(flat) == 0:
             return
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in toks if t]
-        )
-        flat_docs = np.repeat(doc_ids, doc_len)
-        codes, terms = pd.factorize(flat_terms, sort=True)
-        order = np.lexsort((flat_docs, codes))
-        c_s, d_s = codes[order], flat_docs[order]
-        # run-length over (term, doc) pairs → tf
+        parent = parent.filter(mask).to_numpy().astype(np.int64)
+        doc_len = np.bincount(parent, minlength=tbl.num_rows).astype(np.int64)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dictionary = denc.dictionary
+
+        order = np.lexsort((parent, codes))
+        c_s, d_s = codes[order], parent[order]
         change = np.empty(c_s.size, dtype=bool)
         change[0] = True
         np.not_equal(c_s[1:], c_s[:-1], out=change[1:])
         change[1:] |= d_s[1:] != d_s[:-1]
         starts = np.flatnonzero(change)
         tf = np.diff(np.append(starts, c_s.size)).astype(np.int64)
-        u_codes, u_docs = c_s[starts], d_s[starts]
+        u_codes, u_local = c_s[starts], d_s[starts]
         term_bounds = np.flatnonzero(
             np.concatenate(([True], u_codes[1:] != u_codes[:-1]))
         )
         term_ends = np.append(term_bounds[1:], u_codes.size)
 
-        local_base = offsets[pid]
-        posting_dl = doc_len[u_docs - local_base]
-        doc_blobs, tf_blobs, dl_blobs, b_counts, b_firsts, b_maxes = (
-            encode_segment_batch(
-                u_docs, tf, posting_dl, term_bounds, avgdl, k1, b, block_size
-            )
+        u_docs = offsets[pid] + u_local
+        enc = encode_segment_batch_flat(
+            u_docs, tf, doc_len[u_local], term_bounds, avgdl, k1, b, block_size
         )
         n_terms = term_bounds.size
-        yield pd.DataFrame(
-            {
-                "seg_id": np.full(n_terms, pid, dtype=np.int32),
-                "term": np.asarray(terms)[u_codes[term_bounds]],
-                "df": (term_ends - term_bounds).astype(np.int64),
-                "first_doc": u_docs[term_bounds],
-                "last_doc": u_docs[term_ends - 1],
-                "doc_blob": doc_blobs,
-                "tf_blob": tf_blobs,
-                "dl_blob": dl_blobs,
-                "block_counts": b_counts,
-                "block_firsts": b_firsts,
-                "block_maxes": b_maxes,
-            }
+
+        def bin_arr(buf: bytes, offs: np.ndarray) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.binary(), n_terms,
+                [None, pa.py_buffer(np.ascontiguousarray(offs)), pa.py_buffer(buf)],
+            )
+
+        def list_arr(offs: np.ndarray, vals: np.ndarray, typ) -> pa.Array:
+            return pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()), pa.array(vals, type=typ)
+            )
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.full(n_terms, pid, dtype=np.int32), type=pa.int32()),
+                pc.take(dictionary, pa.array(u_codes[term_bounds], type=pa.int64())),
+                pa.array((term_ends - term_bounds).astype(np.int64), type=pa.int64()),
+                pa.array(u_docs[term_bounds], type=pa.int64()),
+                pa.array(u_docs[term_ends - 1], type=pa.int64()),
+                bin_arr(enc["doc_buf"], enc["doc_offsets"]),
+                bin_arr(enc["tf_buf"], enc["tf_offsets"]),
+                bin_arr(enc["dl_buf"], enc["dl_offsets"]),
+                list_arr(enc["block_offsets"], enc["counts_flat"], pa.int32()),
+                list_arr(enc["block_offsets"], enc["firsts_flat"], pa.int64()),
+                list_arr(enc["block_offsets"], enc["maxes_flat"], pa.float64()),
+            ],
+            schema=out_schema,
         )
 
     return build_segments
@@ -316,17 +363,11 @@ def build_index(
     P = cfg.index.build_partitions
     os.makedirs(index_dir, exist_ok=True)
 
-    # corpus stats — no explode, pure JVM
-    row = transcripts.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(doc_len_col("text", cfg.analyzer).cast("long")).alias("total"),
-    ).first()
-    n_docs = int(row["n"])
-    avgdl = (int(row["total"]) / n_docs) if n_docs else 0.0
-
     base = _partitioned_base(transcripts, P).persist()
     with_pid = base.withColumn("pid", F.spark_partition_id())
-    fps = _fingerprints(with_pid)
+    # one combined pass: fingerprints + corpus stats (no separate scan)
+    fps, n_docs, total_tokens = _partition_stats(with_pid, cfg)
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
     offsets = _offsets_from_counts(fps, P)
 
     manifest = load_manifest(index_dir) if resume else Manifest()
@@ -349,7 +390,7 @@ def build_index(
             "seg_id"
         ).mode("append").parquet(docstore_dir)
 
-        with_pid.mapInPandas(
+        with_pid.select("pid", "text").mapInArrow(
             _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
         ).write.partitionBy("seg_id").mode("append").parquet(partial_dir)
 
@@ -403,7 +444,7 @@ def build_index(
         block_size=cfg.index.block_size,
         n_partitions=P,
         offsets=offsets,
-        total_tokens=int(row["total"]) if row["total"] else 0,
+        total_tokens=total_tokens,
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         f.write(meta.to_json())
