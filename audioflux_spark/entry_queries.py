@@ -62,7 +62,7 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Build (once per sf_dir, resumable) an index over documents-as-
     transcripts; cached across queries in the same session."""
     if sf_dir not in _READERS:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"{sf_dir}:fmt2".encode()).hexdigest()[:10]
         idx = os.path.join("/tmp/afspark_entry_idx", tag)
         t = documents_as_transcripts(spark, sf_dir)
         build_index(spark, t, idx, resume=True)

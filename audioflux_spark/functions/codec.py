@@ -98,6 +98,21 @@ def delta_decode(gaps: np.ndarray, base: int = -1) -> np.ndarray:
     return out + base
 
 
+def delta_decode_segmented(
+    gaps: np.ndarray, seg_counts: np.ndarray, base: int = -1
+) -> np.ndarray:
+    """Decode gap streams that RESET at segment boundaries (a merged posting
+    list holds each partial's self-contained gaps back-to-back; merge never
+    rewrites bytes). Vectorized: global cumsum minus the cumsum value at each
+    segment's start, offset by base."""
+    g = np.ascontiguousarray(gaps, dtype=np.int64)
+    cs = np.cumsum(g)
+    counts = np.ascontiguousarray(seg_counts, dtype=np.int64)
+    seg_starts = np.cumsum(counts) - counts
+    before = np.where(seg_starts > 0, cs[seg_starts - 1], 0)
+    return cs - np.repeat(before, counts) + base
+
+
 def encode_postings(doc_ids: np.ndarray, base: int = -1) -> bytes:
     return varint_encode(delta_encode(doc_ids, base=base))
 

@@ -31,13 +31,12 @@ import shutil
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from audioflux_spark.config import DEFAULT, EngineConfig
 from audioflux_spark.functions.analyzer import doc_len_col
-from audioflux_spark.functions.codec import encode_segment_batch_flat, rebase_first_gap
+from audioflux_spark.functions.codec import encode_segment_batch_flat
 from audioflux_spark.plans.checkpoint import (
     Manifest,
     PartitionEntry,
@@ -48,12 +47,14 @@ from audioflux_spark.plans.checkpoint import (
 PARTIAL_SCHEMA = (
     "seg_id int, term string, df long, first_doc long, last_doc long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
-    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>"
+    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
+    "part_counts array<long>"
 )
 MERGED_SCHEMA = (
     "term string, df long, first_doc long, last_doc long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, "
-    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>"
+    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
+    "part_counts array<long>"
 )
 DOCSTORE_SCHEMA = (
     "doc_id long, conv_id string, turn_idx int, role string, text string, "
@@ -83,10 +84,35 @@ class IndexMeta:
         return IndexMeta(**d)
 
 
-def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> DataFrame:
+def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> tuple[DataFrame, bool]:
+    """Build partitions = deterministic scan splits when possible.
+
+    The raw-text shuffle was the build's biggest I/O (the whole corpus
+    written+read through shuffle files, plus a persist) and the disk is the
+    one truly serial resource on a node — so when the source already has
+    enough partitions (parquet/Iceberg splits: deterministic given files and
+    split config), we index each split directly: ZERO wide ops before the
+    blob merge. Only under-partitioned sources get a deterministic hash
+    repartition by conv_id.
+
+    NOT repartitionByRange: Spark's RangePartitioner samples with a seed
+    derived from the RDD id, so boundaries differ on every invocation — a
+    resumable build needs partition assignment that is a pure function of
+    the DATA (fingerprints must match across runs). docIDs are therefore
+    only key-ordered WITHIN a partition; the query layer breaks score ties
+    by the real (conv_id, turn_idx) keys, never by docID.
+
+    Returns (base, shuffled): callers persist the base only when a shuffle
+    happened (re-scanning a page-cached parquet is cheaper than a persist).
+    """
+    in_parts = transcripts.rdd.getNumPartitions()
+    if in_parts >= n_partitions:
+        return transcripts.sortWithinPartitions("conv_id", "turn_idx"), False
     return (
-        transcripts.repartitionByRange(n_partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        transcripts.repartition(n_partitions, "conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        ),
+        True,
     )
 
 
@@ -182,6 +208,7 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
             ("block_counts", pa.list_(pa.int32())),
             ("block_firsts", pa.list_(pa.int64())),
             ("block_maxes", pa.list_(pa.float64())),
+            ("part_counts", pa.list_(pa.int64())),
         ]
     )
 
@@ -205,20 +232,26 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
         if len(flat) == 0:
             return
         parent = parent.filter(mask).to_numpy().astype(np.int64)
-        doc_len = np.bincount(parent, minlength=tbl.num_rows).astype(np.int64)
+        n_rows = tbl.num_rows
+        doc_len = np.bincount(parent, minlength=n_rows).astype(np.int64)
         denc = flat.dictionary_encode()
         codes = denc.indices.to_numpy().astype(np.int64)
         dictionary = denc.dictionary
 
-        order = np.lexsort((parent, codes))
-        c_s, d_s = codes[order], parent[order]
-        change = np.empty(c_s.size, dtype=bool)
+        # single combined-key VALUE sort (term-major, doc ascending within
+        # term). No argsort/lexsort: original positions are never needed, and
+        # a value sort of one int64 array is ~8x cheaper than a two-key
+        # lexsort — this was the kernel's dominant cost.
+        combined = codes * n_rows + parent
+        combined.sort()
+        change = np.empty(combined.size, dtype=bool)
         change[0] = True
-        np.not_equal(c_s[1:], c_s[:-1], out=change[1:])
-        change[1:] |= d_s[1:] != d_s[:-1]
+        np.not_equal(combined[1:], combined[:-1], out=change[1:])
         starts = np.flatnonzero(change)
-        tf = np.diff(np.append(starts, c_s.size)).astype(np.int64)
-        u_codes, u_local = c_s[starts], d_s[starts]
+        tf = np.diff(np.append(starts, combined.size)).astype(np.int64)
+        u = combined[starts]
+        u_codes = u // n_rows
+        u_local = u - u_codes * n_rows
         term_bounds = np.flatnonzero(
             np.concatenate(([True], u_codes[1:] != u_codes[:-1]))
         )
@@ -254,6 +287,12 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
                 list_arr(enc["block_offsets"], enc["counts_flat"], pa.int32()),
                 list_arr(enc["block_offsets"], enc["firsts_flat"], pa.int64()),
                 list_arr(enc["block_offsets"], enc["maxes_flat"], pa.float64()),
+                # one partial per term at build time: part_counts = [df]
+                list_arr(
+                    np.arange(n_terms + 1, dtype=np.int32),
+                    (term_ends - term_bounds).astype(np.int64),
+                    pa.int64(),
+                ),
             ],
             schema=out_schema,
         )
@@ -263,86 +302,109 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
 
 MERGED_COLS = [
     "term", "df", "first_doc", "last_doc", "doc_blob", "tf_blob", "dl_blob",
-    "block_counts", "block_firsts", "block_maxes",
+    "block_counts", "block_firsts", "block_maxes", "part_counts",
 ]
 
 
-def _make_merge_stream(key_cols: list[str], chunk_terms: int = 4096):
-    """mapInPandas kernel merging ALL groups in a partition in one pass.
+def _make_merge_stream(key_cols: list[str]):
+    """Arrow merge kernel (mapInArrow): merging is pure OFFSET SUBSAMPLING.
 
-    Input must be partitioned by key_cols; the kernel re-sorts by
-    (key_cols..., first_doc) and walks group boundaries with NumPy — per-group
-    work is a few bytes ops (the O(1) first-gap rebase), not a pandas
-    DataFrame construction, which is what makes this ~100x cheaper than a
-    per-group applyInPandas at vocabulary scale (50k+ groups/partition).
+    Partial blobs are self-contained (first gap absolute), so a merged
+    posting list is simply the partials' bytes back-to-back with
+    ``part_counts`` recording the reset boundaries (decoded by a vectorized
+    segmented cumsum — functions/codec.delta_decode_segmented). The kernel
+    therefore never touches blob bytes: sort rows by (key..., first_doc),
+    find group boundaries, and emit Binary/List arrays that REUSE the input
+    data buffers with group-boundary offsets. No per-group Python, no byte
+    rewriting — this was the worst-scaling stage as a pandas kernel
+    (objects + per-boundary rebase).
     """
+    import pyarrow as pa
 
-    def merge_stream(iterator):
-        chunks = [pdf for pdf in iterator if not pdf.empty]
-        if not chunks:
+    out_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("df", pa.int64()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("doc_blob", pa.binary()),
+            ("tf_blob", pa.binary()),
+            ("dl_blob", pa.binary()),
+            ("block_counts", pa.list_(pa.int32())),
+            ("block_firsts", pa.list_(pa.int64())),
+            ("block_maxes", pa.list_(pa.float64())),
+            ("part_counts", pa.list_(pa.int64())),
+        ]
+    )
+
+    def merge_stream(batches):
+        import pyarrow.compute as pc
+
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
             return
-        part = pd.concat(chunks, ignore_index=True)
-        part.sort_values([*key_cols, "first_doc"], inplace=True, ignore_index=True)
-        n = len(part)
-        keys = [part[c].to_numpy() for c in key_cols]
+        sort_keys = [(c, "ascending") for c in [*key_cols, "first_doc"]]
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys)).combine_chunks()
+        n = tbl.num_rows
+
+        term_arr = tbl.column("term").combine_chunks()
+        codes = term_arr.dictionary_encode().indices.to_numpy().astype(np.int64)
         change = np.ones(n, dtype=bool)
         if n > 1:
-            acc = np.zeros(n - 1, dtype=bool)
-            for arr in keys:
-                acc |= arr[1:] != arr[:-1]
-            change[1:] = acc
+            diff = codes[1:] != codes[:-1]
+            if "salt" in key_cols:
+                salt = tbl.column("salt").combine_chunks().to_numpy()
+                diff = diff | (salt[1:] != salt[:-1])
+            change[1:] = diff
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
+        n_out = starts.size
 
-        term = part["term"].to_numpy()
-        df_a = part["df"].to_numpy()
-        fd = part["first_doc"].to_numpy()
-        ld = part["last_doc"].to_numpy()
-        dblob = part["doc_blob"].to_numpy()
-        tblob = part["tf_blob"].to_numpy()
-        lblob = part["dl_blob"].to_numpy()
-        bc = part["block_counts"].to_numpy()
-        bf = part["block_firsts"].to_numpy()
-        bm = part["block_maxes"].to_numpy()
+        df_a = tbl.column("df").combine_chunks().to_numpy()
+        fd = tbl.column("first_doc").combine_chunks().to_numpy()
+        ld = tbl.column("last_doc").combine_chunks().to_numpy()
 
-        out = {c: [] for c in MERGED_COLS}
-        emitted = 0
-        for s, e in zip(starts, ends):
-            if e - s == 1:
-                out["doc_blob"].append(bytes(dblob[s]))
-                out["tf_blob"].append(bytes(tblob[s]))
-                out["dl_blob"].append(bytes(lblob[s]))
-                out["df"].append(int(df_a[s]))
-                out["block_counts"].append(np.asarray(bc[s], dtype=np.int32))
-                out["block_firsts"].append(np.asarray(bf[s], dtype=np.int64))
-                out["block_maxes"].append(np.asarray(bm[s], dtype=np.float64))
-            else:
-                db = bytearray(dblob[s])
-                for i in range(s + 1, e):
-                    db += rebase_first_gap(bytes(dblob[i]), int(fd[i]), int(ld[i - 1]))
-                out["doc_blob"].append(bytes(db))
-                out["tf_blob"].append(b"".join(bytes(x) for x in tblob[s:e]))
-                out["dl_blob"].append(b"".join(bytes(x) for x in lblob[s:e]))
-                out["df"].append(int(df_a[s:e].sum()))
-                out["block_counts"].append(
-                    np.concatenate([np.asarray(x) for x in bc[s:e]]).astype(np.int32)
-                )
-                out["block_firsts"].append(
-                    np.concatenate([np.asarray(x) for x in bf[s:e]]).astype(np.int64)
-                )
-                out["block_maxes"].append(
-                    np.concatenate([np.asarray(x) for x in bm[s:e]]).astype(np.float64)
-                )
-            out["term"].append(term[s])
-            out["first_doc"].append(int(fd[s]))
-            out["last_doc"].append(int(ld[e - 1]))
-            emitted += 1
-            if emitted >= chunk_terms:
-                yield pd.DataFrame(out)
-                out = {c: [] for c in MERGED_COLS}
-                emitted = 0
-        if emitted:
-            yield pd.DataFrame(out)
+        def merged_binary(col: str) -> pa.Array:
+            arr = tbl.column(col).combine_chunks()
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1
+            ]
+            new_off = np.empty(n_out + 1, dtype=np.int32)
+            new_off[:-1] = off[starts]
+            new_off[-1] = off[n]
+            return pa.Array.from_buffers(
+                pa.binary(), n_out,
+                [None, pa.py_buffer(np.ascontiguousarray(new_off)), arr.buffers()[2]],
+            )
+
+        def merged_list(col: str) -> pa.Array:
+            arr = tbl.column(col).combine_chunks()
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset : arr.offset + n + 1
+            ]
+            new_off = np.empty(n_out + 1, dtype=np.int32)
+            new_off[:-1] = off[starts]
+            new_off[-1] = off[n]
+            return pa.ListArray.from_arrays(
+                pa.array(new_off, type=pa.int32()), arr.values
+            )
+
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(term_arr, pa.array(starts, type=pa.int64())),
+                pa.array(np.add.reduceat(df_a, starts), type=pa.int64()),
+                pa.array(fd[starts], type=pa.int64()),
+                pa.array(ld[ends - 1], type=pa.int64()),
+                merged_binary("doc_blob"),
+                merged_binary("tf_blob"),
+                merged_binary("dl_blob"),
+                merged_list("block_counts"),
+                merged_list("block_firsts"),
+                merged_list("block_maxes"),
+                merged_list("part_counts"),
+            ],
+            schema=out_schema,
+        )
 
     return merge_stream
 
@@ -360,10 +422,12 @@ def build_index(
     seg_id), segments_partial/ (parquet, partitioned by seg_id),
     segments/ (merged, range-partitioned + sorted by term).
     """
-    P = cfg.index.build_partitions
     os.makedirs(index_dir, exist_ok=True)
 
-    base = _partitioned_base(transcripts, P).persist()
+    base, shuffled = _partitioned_base(transcripts, cfg.index.build_partitions)
+    if shuffled:
+        base = base.persist()
+    P = base.rdd.getNumPartitions()
     with_pid = base.withColumn("pid", F.spark_partition_id())
     # one combined pass: fingerprints + corpus stats (no separate scan)
     fps, n_docs, total_tokens = _partition_stats(with_pid, cfg)
@@ -429,7 +493,8 @@ def build_index(
             e.skew_ratio = (e.postings / mean_postings) if mean_postings else 0.0
         save_manifest(index_dir, manifest)
 
-    base.unpersist()
+    if shuffled:
+        base.unpersist()
 
     # ---- merge phase: two-phase salted repartition-by-term ----
     # skip when resuming an untouched, fully-merged index
@@ -459,16 +524,34 @@ def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFA
 
     partials = spark.read.parquet(partial_dir)
     S = cfg.index.salt_buckets
-    P = cfg.index.build_partitions
+    # actual partition count (scan-split partitioning may exceed the config)
+    P = int(partials.agg(F.max("seg_id")).first()[0] or 0) + 1
+    Qf = max(cfg.index.build_partitions // 4, 1)
+
+    if P <= cfg.index.hot_term_partials * S:
+        # SINGLE-PHASE: even the hottest term has ≤ hot_term_partials*S
+        # partials, which one merge task absorbs comfortably — the salted
+        # pre-merge would only add a full extra shuffle of the index.
+        # repartitionByRange(term) puts each term's partials in one
+        # partition AND makes every output file a term range (the kernel
+        # emits term-sorted rows), so `term IN (...)` prunes files/row
+        # groups at query time.
+        merged = partials.repartitionByRange(Qf, "term").mapInArrow(
+            _make_merge_stream(["term"]), schema=MERGED_SCHEMA
+        )
+        merged.write.mode("overwrite").parquet(out_dir)
+        return
+
+    # TWO-PHASE (cluster scale: 10^3+ build partitions → Zipf-hot terms have
+    # one partial per partition and would straggle a single merge task).
+    # Phase 1 pre-merges within contiguous salt chunks, bounding any task's
+    # rows per term to P/S; phase 2 merges the ≤S pre-merged rows per term.
     hot = (
         partials.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n_partials"))
         .filter(F.col("n_partials") > cfg.index.hot_term_partials)
         .select("term", F.lit(True).alias("is_hot"))
     )
-    # salt must chunk seg_ids CONTIGUOUSLY (floor(seg_id*S/P), not seg_id%S):
-    # the O(1) blob merge relies on phase-1 outputs covering disjoint, ordered
-    # doc-id ranges, and seg_id order == doc-range order.
     salted = (
         partials.join(F.broadcast(hot), on="term", how="left")
         .withColumn(
@@ -481,21 +564,14 @@ def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFA
         .drop("is_hot")
     )
     Q = max(cfg.index.build_partitions // 2, 1)
-    # phase 1: merge within (term, salt) buckets — bounds the partials any
-    # single task sees for a Zipf-hot term to P/S. Persisted so the range
-    # sampler below doesn't recompute the heavy shuffle.
+    # persisted so the range sampler below doesn't recompute the shuffle
     p1 = (
         salted.repartition(Q, "term", "salt")
-        .mapInPandas(_make_merge_stream(["term", "salt"]), schema=MERGED_SCHEMA)
+        .mapInArrow(_make_merge_stream(["term", "salt"]), schema=MERGED_SCHEMA)
         .persist()
     )
-    # phase 2 IS the final range partitioning: repartitionByRange(term) puts
-    # every term's ≤S pre-merged rows in one partition, the kernel merges
-    # them, and the kernel's sorted-by-term output order makes each parquet
-    # file a term range → `term IN (...)` prunes files/row groups at query
-    # time. One shuffle, no extra global sort.
-    merged = p1.repartitionByRange(
-        max(cfg.index.build_partitions // 4, 1), "term"
-    ).mapInPandas(_make_merge_stream(["term"]), schema=MERGED_SCHEMA)
+    merged = p1.repartitionByRange(Qf, "term").mapInArrow(
+        _make_merge_stream(["term"]), schema=MERGED_SCHEMA
+    )
     merged.write.mode("overwrite").parquet(out_dir)
     p1.unpersist()

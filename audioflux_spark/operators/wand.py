@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audioflux_spark.functions.bm25 import idf_value
-from audioflux_spark.functions.codec import decode_postings, varint_decode
+from audioflux_spark.functions.codec import delta_decode_segmented, varint_decode
 from audioflux_spark.operators.topk import query_terms
 from audioflux_spark.sources.segments import IndexReader
 
@@ -48,7 +48,9 @@ def _decode_term(row, avgdl: float, k1: float, b: float, idf: float, ub_scale: f
     avgdl ratio) — keeps the bounds safe for incremental indexes.
     """
     n = int(row["df"])
-    doc_ids = decode_postings(bytes(row["doc_blob"]), n)
+    gaps = varint_decode(bytes(row["doc_blob"]), n).astype(np.int64)
+    part_counts = np.asarray(row["part_counts"], dtype=np.int64)
+    doc_ids = delta_decode_segmented(gaps, part_counts)
     tf = varint_decode(bytes(row["tf_blob"]), n).astype(np.float64)
     dl = varint_decode(bytes(row["dl_blob"]), n).astype(np.float64)
     contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
@@ -103,13 +105,18 @@ def wand_topk_kernel(
     order = np.argsort(-total_ub, kind="stable")
 
     # bounded top-k state, kept sorted by (score desc, doc_id asc); a doc
-    # belongs to exactly one elementary interval, so merges never duplicate
+    # belongs to exactly one elementary interval, so merges never duplicate.
+    # Docs TYING the k-th score are kept (capped): docIDs are only key-ordered
+    # within a partition, so boundary ties must be resolved by the caller
+    # against the real (conv_id, turn_idx) keys — dropping a tied doc here
+    # could drop the one with the smallest key.
+    max_keep = max(4 * k, k + 1024)
     top_d = np.zeros(0, dtype=np.int64)
     top_s = np.zeros(0, dtype=np.float64)
     theta = -np.inf
 
     for iv in order:
-        if top_d.size == k and total_ub[iv] < theta - _EPS:
+        if top_d.size >= k and total_ub[iv] < theta - _EPS:
             break
         lo, hi = points[iv], points[iv + 1]
         cand_docs = []
@@ -129,10 +136,15 @@ def wand_topk_kernel(
         np.add.at(u_scores, inv, scores)
         all_d = np.concatenate([top_d, u_docs])
         all_s = np.concatenate([top_s, u_scores])
-        sel = np.lexsort((all_d, -all_s))[:k]
+        sel = np.lexsort((all_d, -all_s))
+        if sel.size > k:
+            s_sorted = all_s[sel]
+            kth = s_sorted[k - 1]
+            cutoff = int(np.searchsorted(-s_sorted, -kth, side="right"))
+            sel = sel[: min(max(k, cutoff), max_keep)]
         top_d, top_s = all_d[sel], all_s[sel]
-        if top_d.size == k:
-            theta = top_s[-1]
+        if top_d.size >= k:
+            theta = top_s[k - 1]
 
     return top_d, top_s
 
@@ -142,11 +154,11 @@ def bm25_topk_indexed(reader: IndexReader, query_text: str, k: int = 10) -> Data
     (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
 
     Multi-generation: each generation runs its own WAND with GLOBAL stats
-    (N, avgdl, df summed over generations — scores are exact global BM25);
-    per-gen top-k candidates are then merged under the total order. Keeping
-    k per generation is sufficient: within a generation docID order is
-    (conv_id, turn_idx) order, so any dropped boundary-tied doc is dominated
-    by k kept docs from its own generation.
+    (N, avgdl, df summed over generations — scores are exact global BM25).
+    The kernel keeps every doc tying the k-th score, and the final ranking
+    here resolves all ties by the real (conv_id, turn_idx) keys, so the
+    result is rank-identical to the oracle regardless of docID assignment
+    order (docIDs are only key-ordered within a build partition).
     """
     spark = reader.spark
     k1, b = reader.meta.k1, reader.meta.b
@@ -178,7 +190,6 @@ def bm25_topk_indexed(reader: IndexReader, query_text: str, k: int = 10) -> Data
         )
         if doc_ids.size == 0:
             continue
-        # docID order IS (conv_id, turn_idx) order within a generation.
         # doc_id IN (...) pushes to the docstore parquet scan (docIDs sorted
         # within each seg_id dir → row-group min/max pruning): ~k row groups
         # read, not the corpus.

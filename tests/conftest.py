@@ -22,8 +22,14 @@ def transcripts_pdf() -> pd.DataFrame:
 
 @pytest.fixture(scope="session")
 def transcripts_sdf(spark, transcripts_pdf):
-    df = spark.createDataFrame(transcripts_pdf)
-    df = df.repartition(8, "conv_id").cache()
+    # read from the parquet fixture (NOT createDataFrame + repartition): a
+    # deterministic scan gives deterministic range-partition sampling, which
+    # the resume byte-identity guarantee is conditioned on — arbitrary
+    # shuffled inputs have nondeterministic row order across runs and fall
+    # back to fingerprint-mismatch full rebuild (safe, not byte-stable).
+    from audioflux_spark.fixtures import fixture_dir
+
+    df = spark.read.parquet(fixture_dir("0.001") + "/transcripts.parquet").cache()
     df.count()
     return df
 

@@ -12,15 +12,18 @@ import pandas as pd
 import pytest
 
 from audioflux_spark.config import DEFAULT, EngineConfig, IndexConfig
-from audioflux_spark.functions.codec import decode_postings, varint_decode
+from audioflux_spark.functions.codec import delta_decode_segmented, varint_decode
 from audioflux_spark.operators.indexer import build_index
 from audioflux_spark.operators.wand import bm25_topk_indexed, bm25_topk_many
 from audioflux_spark.plans.checkpoint import load_manifest, save_manifest
 from audioflux_spark.sources.segments import IndexReader
 from tests.test_topk_exhaustive import assert_rank_identical
 
+# hot_term_partials=1, salt_buckets=2 forces the TWO-PHASE salted merge even
+# at 8 build partitions (threshold 1*2 < 8); the incremental tests cover the
+# single-phase path
 CFG = EngineConfig(
-    index=IndexConfig(block_size=32, hot_term_partials=4, salt_buckets=4, build_partitions=8)
+    index=IndexConfig(block_size=32, hot_term_partials=1, salt_buckets=2, build_partitions=8)
 )
 
 
@@ -42,8 +45,9 @@ def test_meta_matches_oracle(reader, oracle):
 
 
 def test_segment_blobs_match_oracle_postings(reader, oracle):
-    """Decode every segment blob for a sample of terms; postings (doc ids in
-    (conv_id, turn_idx) order, tf) must equal the oracle's."""
+    """Decode every segment blob for a sample of terms; the posting SET
+    (doc keys, tf, dl) must equal the oracle's. Engine docIDs are
+    hash-partition-relative, so compare through the docstore key mapping."""
     sample_terms = ["hotterm", "tie", "needle_unique_0", "needle_pair_0"]
     rows = {
         r["term"]: r
@@ -51,19 +55,32 @@ def test_segment_blobs_match_oracle_postings(reader, oracle):
             reader.segments.term.isin(sample_terms)
         ).collect()
     }
-    # doc_id -> position mapping: docstore doc_id is the rank of
-    # (conv_id, turn_idx); oracle indexes docs in the same sorted order
+    ds = reader.docstore.select("doc_id", "conv_id", "turn_idx").toPandas()
+    # oracle index of each engine doc_id: oracle docs are key-rank ordered
+    key_to_oracle = {
+        (c, t): i for i, (c, t) in enumerate(zip(oracle.conv_id, oracle.turn_idx))
+    }
+    docid_to_oracle = np.full(len(ds), -1, dtype=np.int64)
+    for did, c, t in zip(ds["doc_id"], ds["conv_id"], ds["turn_idx"]):
+        docid_to_oracle[did] = key_to_oracle[(c, t)]
+    assert (docid_to_oracle >= 0).all()  # docIDs are a 0..N-1 permutation
+
     for t in sample_terms:
         assert t in rows, f"term {t} missing from merged segments"
         r = rows[t]
-        got_docs = decode_postings(bytes(r["doc_blob"]), int(r["df"]))
-        got_tf = varint_decode(bytes(r["tf_blob"]), int(r["df"])).astype(np.int64)
+        n = int(r["df"])
+        gaps = varint_decode(bytes(r["doc_blob"]), n).astype(np.int64)
+        got_docs = delta_decode_segmented(gaps, np.asarray(r["part_counts"]))
+        got_tf = varint_decode(bytes(r["tf_blob"]), n).astype(np.int64)
+        got_dl = varint_decode(bytes(r["dl_blob"]), n).astype(np.int64)
+        got_oracle_ix = docid_to_oracle[got_docs]
+        order = np.argsort(got_oracle_ix)
         want_docs, want_tf = oracle.postings[t]
-        np.testing.assert_array_equal(got_docs, want_docs)
-        np.testing.assert_array_equal(got_tf, want_tf.astype(np.int64))
-        # dl blob matches oracle doc lengths
-        got_dl = varint_decode(bytes(r["dl_blob"]), int(r["df"])).astype(np.int64)
-        np.testing.assert_array_equal(got_dl, oracle.doc_len[want_docs].astype(np.int64))
+        np.testing.assert_array_equal(got_oracle_ix[order], want_docs)
+        np.testing.assert_array_equal(got_tf[order], want_tf.astype(np.int64))
+        np.testing.assert_array_equal(
+            got_dl[order], oracle.doc_len[want_docs].astype(np.int64)
+        )
 
 
 def test_hot_term_was_merged_from_many_partials(reader, index_dir, spark):
@@ -113,9 +130,9 @@ def test_per_turn_text_roundtrip(reader, transcripts_pdf):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering after index → docstore round-trip."""
     got = (
-        reader.docstore.select("doc_id", "conv_id", "turn_idx", "text")
+        reader.docstore.select("doc_id", "seg_id", "conv_id", "turn_idx", "text")
         .toPandas()
-        .sort_values("doc_id")
+        .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
     want = (
@@ -123,10 +140,14 @@ def test_per_turn_text_roundtrip(reader, transcripts_pdf):
         .sort_values(["conv_id", "turn_idx"])
         .reset_index(drop=True)
     )
-    assert (got["doc_id"].to_numpy() == np.arange(len(want))).all()
-    pd.testing.assert_frame_equal(
-        got[["conv_id", "turn_idx", "text"]], want
-    )
+    # per-turn text equality under the stable key order
+    pd.testing.assert_frame_equal(got[["conv_id", "turn_idx", "text"]], want)
+    # docIDs are a dense permutation, key-ordered within each partition
+    ids = np.sort(got["doc_id"].to_numpy())
+    assert (ids == np.arange(len(want))).all()
+    for _seg, grp in got.groupby("seg_id"):
+        d = grp.sort_values(["conv_id", "turn_idx"])["doc_id"].to_numpy()
+        assert (np.diff(d) == 1).all(), "doc_id not key-contiguous within partition"
 
 
 def test_manifest_lineage(index_dir):
@@ -152,8 +173,20 @@ def test_resume_byte_identical(spark, transcripts_sdf, index_dir, tmp_path_facto
         shutil.rmtree(os.path.join(d2, "segments_partial", f"seg_id={pid}"))
         shutil.rmtree(os.path.join(d2, "docstore", f"seg_id={pid}"))
     save_manifest(d2, m)
+    kept = [p for p in sorted(load_manifest(index_dir).entries) if p not in killed]
+    mtimes_before = {
+        p: os.path.getmtime(os.path.join(d2, "segments_partial", f"seg_id={p}"))
+        for p in kept
+    }
 
     build_index(spark, transcripts_sdf, d2, cfg=CFG, resume=True)
+
+    # kept partitions must NOT have been rewritten (true resume, not rebuild)
+    for p in kept:
+        assert (
+            os.path.getmtime(os.path.join(d2, "segments_partial", f"seg_id={p}"))
+            == mtimes_before[p]
+        ), f"partition {p} was rebuilt despite valid checkpoint"
 
     def segset(d):
         rows = (
