@@ -215,7 +215,10 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
     def build_segments(batches):
         import pyarrow.compute as pc
 
-        tbl = pa.Table.from_batches(list(batches))
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return
         pid = int(tbl.column("pid")[0].as_py())
@@ -340,7 +343,10 @@ def _make_merge_stream(key_cols: list[str]):
     def merge_stream(batches):
         import pyarrow.compute as pc
 
-        tbl = pa.Table.from_batches(list(batches))
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        tbl = pa.Table.from_batches(batch_list)
         if tbl.num_rows == 0:
             return
         sort_keys = [(c, "ascending") for c in [*key_cols, "first_doc"]]
