@@ -515,6 +515,61 @@ def q_source_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation between two event-type hourly series at lags 0..5 —
+    the reference's Xcorr (/root/reference/src/dsp/xcorr_algorithm.c):
+    similarity join between two time series."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).alias("h"),
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    a = hourly.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ha"), F.col("v").alias("va")
+    )
+    b = hourly.filter(F.col("event_type") == "view").select(
+        F.col("h").alias("hb"), F.col("v").alias("vb")
+    )
+    lags = spark.range(0, 6).select(F.col("id").cast("int").alias("lag"))
+    joined = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("ha") + F.col("lag") == F.col("hb"))
+        .groupBy("lag")
+        .agg(_e6(F.sum(F.col("va") * F.col("vb"))).alias("xcorr_e6"),
+             F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("lag")
+    )
+    return joined
+
+
+def q_events_delta_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay-style delta feature: windowed weighted regression slope
+    over each user's value sequence (xxcc_standard delta,
+    /root/reference/src/feature/xxcc_algorithm.c:168-296): slope_t =
+    Σ_{j=-2..2} j·v_{t+j} / Σ j² over a 5-frame window."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    num = sum(
+        F.lit(float(j)) * F.coalesce(F.lag("value", -j).over(w), F.lit(0.0))
+        for j in range(-2, 3)
+    )
+    cnt = sum(
+        F.when(F.lag("value", -j).over(w).isNotNull(), F.lit(j * j)).otherwise(F.lit(0))
+        for j in range(-2, 3)
+    )
+    return (
+        ev.select("event_id", (num / F.when(cnt > 0, cnt)).alias("slope"))
+        .select("event_id", _e6(F.col("slope")).alias("slope_e6"))
+        .orderBy("event_id")
+    )
+
+
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Viterbi decoding of event values under a fixed 2-state
     Gaussian HMM (/root/reference/src/classic/viterbi.c analog). Iterative DP
@@ -750,6 +805,37 @@ g AS (
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id ORDER BY user_id
 """,
+        "events_xcorr": """
+WITH hourly AS (
+  SELECT event_type, epoch(ts)::BIGINT // 3600 AS h, sum(value) AS v
+  FROM events GROUP BY event_type, h
+),
+a AS (SELECT h, v AS va FROM hourly WHERE event_type = 'click'),
+b AS (SELECT h, v AS vb FROM hourly WHERE event_type = 'view'),
+lags AS (SELECT unnest(generate_series(0, 5))::INT AS lag)
+SELECT lag, CAST(ROUND(sum(va * vb) * 1000000) AS BIGINT) AS xcorr_e6,
+       count(*) AS n_pairs
+FROM a CROSS JOIN lags JOIN b ON a.h + lag = b.h
+GROUP BY lag ORDER BY lag
+""",
+        "events_delta_regression": """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events),
+win AS (
+  SELECT event_id,
+         (-2.0 * coalesce(lag(value, 2)  OVER w, 0)
+          - 1.0 * coalesce(lag(value, 1)  OVER w, 0)
+          + 1.0 * coalesce(lead(value, 1) OVER w, 0)
+          + 2.0 * coalesce(lead(value, 2) OVER w, 0)) AS num,
+         ((CASE WHEN lag(value, 2)  OVER w IS NOT NULL THEN 4 ELSE 0 END)
+          + (CASE WHEN lag(value, 1)  OVER w IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN lead(value, 1) OVER w IS NOT NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN lead(value, 2) OVER w IS NOT NULL THEN 4 ELSE 0 END)) AS cnt
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT event_id,
+       CAST(ROUND(num / (CASE WHEN cnt > 0 THEN cnt END) * 1000000) AS BIGINT) AS slope_e6
+FROM win ORDER BY event_id
+""",
         "events_value_zscore": """
 SELECT event_id, event_type,
        CAST(ROUND((value - avg(value) OVER (PARTITION BY event_type))
@@ -855,6 +941,8 @@ def queries():
         "events_value_zscore": q_events_value_zscore,
         "events_sliding_max": q_events_sliding_max,
         "events_delta_stats": q_events_delta_stats,
+        "events_xcorr": q_events_xcorr,
+        "events_delta_regression": q_events_delta_regression,
         "source_novelty": q_source_novelty,
         "viterbi_states": q_viterbi_states,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,

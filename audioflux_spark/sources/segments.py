@@ -66,6 +66,17 @@ class IndexReader:
     def docstore(self) -> DataFrame:
         return self.generations[0].docstore
 
+    def warm(self) -> "IndexReader":
+        """Pin segments + docstore in executor memory for serving (the
+        reference's precompute-once operator-handle discipline): repeated
+        queries then skip parquet decode entirely."""
+        for g in self.generations:
+            g.segments = g.segments.persist()
+            g.segments.count()
+            g.docstore = g.docstore.persist()
+            g.docstore.count()
+        return self
+
     # -- global (cross-generation) statistics: exact, not stale --
     @property
     def n_docs(self) -> int:

@@ -98,7 +98,7 @@ def main() -> None:
     from audioflux_spark.sources.segments import IndexReader
 
     spark = get_spark("bench-query", cores=CPUS, shuffle_partitions=CPUS)
-    reader = IndexReader(spark, "/tmp/afspark_bench_idx_main")
+    reader = IndexReader(spark, "/tmp/afspark_bench_idx_main").warm()
     tr = pd.read_parquet(os.path.join(fx, "transcripts.parquet"))
     qs = gen_queries(tr)
     for q in qs[:3]:  # warm-up, excluded
