@@ -585,6 +585,23 @@ def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source NMF topic assignment over the (doc, term, tf) matrix
+    (/root/reference/src/classic/nmf.c analog). Iterative — no SQL oracle
+    (rows-only check)."""
+    from audioflux_spark.operators.sequence import nmf_topics
+
+    tf = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
+    )
+    return nmf_topics(tf, "source", "doc_id", "term", "tf", k=3).orderBy(
+        "group", "row_id"
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary — relational breadth check."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -945,6 +962,7 @@ def queries():
         "events_delta_regression": q_events_delta_regression,
         "source_novelty": q_source_novelty,
         "viterbi_states": q_viterbi_states,
+        "nmf_topics": q_nmf_topics,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,

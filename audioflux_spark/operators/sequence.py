@@ -55,6 +55,76 @@ def viterbi_path(x: np.ndarray, hmm: GaussianHMM) -> np.ndarray:
     return path
 
 
+def nmf_factorize(
+    V: np.ndarray,
+    k: int,
+    max_iter: int = 100,
+    thresh: float = 1e-3,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """Non-negative matrix factorization, multiplicative updates
+    (Lee & Seung 2001; the reference's /root/reference/src/classic/nmf.c:20
+    exposes the same (max_iter, thresh) contract). Deterministic given seed.
+
+    Returns (W (m,k), H (k,n), frobenius_error)."""
+    rng = np.random.default_rng(seed)
+    m, n = V.shape
+    W = rng.random((m, k)) + 1e-4
+    H = rng.random((k, n)) + 1e-4
+    prev = np.inf
+    for _ in range(max_iter):
+        H *= (W.T @ V) / np.maximum(W.T @ W @ H, 1e-12)
+        W *= (V @ H.T) / np.maximum(W @ H @ H.T, 1e-12)
+        err = float(np.linalg.norm(V - W @ H))
+        if prev - err < thresh:
+            break
+        prev = err
+    return W, H, err
+
+
+def nmf_topics(
+    df: DataFrame,
+    group_col: str,
+    row_col: str,
+    col_col: str,
+    value_col: str,
+    k: int = 4,
+    max_iter: int = 60,
+) -> DataFrame:
+    """Per-group NMF over a sparse (row, col, value) matrix — e.g. topics per
+    corpus slice from the (doc, term, tf) matrix. Groups are independent →
+    applyInPandas (the reference factors one spectrogram matrix at a time;
+    we factor every group's matrix in parallel).
+
+    Output: (group, row_id, topic, weight) — each row's dominant factor
+    loading (argmax of W) plus its weight, the engine's topic assignment.
+    """
+
+    def factorize(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, row_ix = np.unique(pdf[row_col].to_numpy(), return_inverse=True)
+        cols, col_ix = np.unique(pdf[col_col].to_numpy(), return_inverse=True)
+        V = np.zeros((rows.size, cols.size))
+        V[row_ix, col_ix] = pdf[value_col].to_numpy(dtype=np.float64)
+        kk = min(k, rows.size, cols.size)
+        W, _H, _err = nmf_factorize(V, kk, max_iter=max_iter)
+        topic = np.argmax(W, axis=1).astype(np.int32)
+        weight = W[np.arange(rows.size), topic]
+        return pd.DataFrame(
+            {
+                "group": pdf[group_col].iloc[0],
+                "row_id": rows,
+                "topic": topic,
+                "weight": weight,
+            }
+        )
+
+    row_t = dict(df.dtypes)[row_col]
+    return df.groupBy(group_col).applyInPandas(
+        factorize,
+        schema=f"group {dict(df.dtypes)[group_col]}, row_id {row_t}, topic int, weight double",
+    )
+
+
 def viterbi_decode(
     df: DataFrame,
     group_col: str,
