@@ -70,7 +70,7 @@ def worker_main(args) -> None:
     scratch = "/dev/shm/afspark_bench" if os.path.isdir("/dev/shm") else "/tmp"
     idx = os.path.join(scratch, f"idx_c{args.cores}")
     try:
-        res = _build_once(args.cores, args.fixture, idx)
+        res = _build_once(args.cores, args.fixture, idx, repeats=args.repeats)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
     print("WORKER_RESULT " + json.dumps(res))
@@ -151,8 +151,12 @@ def main() -> None:
             # CPUs — local[c] alone only caps concurrent tasks, letting scan
             # threads and arrow workers borrow extra cores, which flatters
             # the low-core run and understates true N-vs-4N scaling
+            # the low-core run is long but showed <1% run variance; one
+            # sample keeps the whole bench under the driver's patience
+            reps = 1 if c == low else 2
             cmd = [sys.executable, os.path.abspath(__file__), "--worker-build",
-                   "--cores", str(c), "--fixture", scale_fx]
+                   "--cores", str(c), "--fixture", scale_fx,
+                   "--repeats", str(reps)]
             if shutil.which("taskset"):
                 cmd = ["taskset", "-c", f"0-{c - 1}", *cmd]
             out = subprocess.run(
@@ -187,6 +191,7 @@ if __name__ == "__main__":
     ap.add_argument("--worker-build", action="store_true")
     ap.add_argument("--cores", type=int, default=CPUS)
     ap.add_argument("--fixture", type=str, default="")
+    ap.add_argument("--repeats", type=int, default=2)
     a = ap.parse_args()
     if a.worker_build:
         worker_main(a)
