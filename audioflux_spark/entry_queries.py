@@ -41,6 +41,16 @@ _TOK_SQL = (
 )
 
 
+
+def _epoch_ntz(col_name: str) -> F.Column:
+    """Seconds since epoch of a NAIVE timestamp, independent of the session
+    timezone (the driver's own SparkSession may not be UTC): pure ntz
+    arithmetic, matching DuckDB's epoch(ts) on naive timestamps."""
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({col_name} AS TIMESTAMP_NTZ))"
+    )
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -409,7 +419,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id",
         "event_id",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        _epoch_ntz("ts").alias("t"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     flagged = ev.withColumn(
@@ -446,7 +456,7 @@ def q_events_sliding_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's __vmaxfilter (/root/reference/src/vector/flux_vector.h:104)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id", "event_id", "value",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        _epoch_ntz("ts").alias("t"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(-4, 0)
     return (
@@ -460,7 +470,7 @@ def q_events_delta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/feature/spectral_algorithm.c:250: Σ|s(t)-s(t-1)|)."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id", "event_id", "value",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        _epoch_ntz("ts").alias("t"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     d = ev.withColumn("delta", F.col("value") - F.lag("value").over(w)).filter(
@@ -523,7 +533,7 @@ def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(
             "event_type",
-            F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600).alias("h"),
+            F.floor(_epoch_ntz("ts") / 3600).alias("h"),
         )
         .agg(F.sum("value").alias("v"))
     )
@@ -552,7 +562,7 @@ def q_events_delta_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_{j=-2..2} j·v_{t+j} / Σ j² over a 5-frame window."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
         "user_id", "event_id", "value",
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("t"),
+        _epoch_ntz("ts").alias("t"),
     )
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     num = sum(
