@@ -59,6 +59,11 @@ class IndexConfig:
     hot_term_partials: int = 8
     salt_buckets: int = 8
     build_partitions: int = 32
+    # store token positions (varint per-posting deltas) — the substrate for
+    # exact-phrase queries; adds one stable argsort + one varint stream to
+    # the build kernel. Optional like Lucene's IndexOptions (DOCS_AND_FREQS
+    # vs ..._AND_POSITIONS): docs-and-freqs is the throughput default.
+    store_positions: bool = False
 
 
 @dataclass(frozen=True)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from audioflux_spark.config import DEFAULT
+from audioflux_spark.config import DEFAULT, EngineConfig, IndexConfig
 from audioflux_spark.functions.analyzer import doc_len_col, tokens_col
 from audioflux_spark.operators.indexer import build_index
 from audioflux_spark.operators.tokenize import corpus_stats, doc_stats, term_freqs
@@ -68,20 +68,23 @@ def _e6(col) -> F.Column:
 _READERS: dict[str, IndexReader] = {}
 
 
+_ENTRY_CFG = EngineConfig(index=IndexConfig(store_positions=True))
+
+
 def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
-    """Build (once per sf_dir, resumable) an index over documents-as-
-    transcripts; cached across queries in the same session."""
+    """Build (once per sf_dir, resumable) a POSITIONAL index over documents-
+    as-transcripts; cached across queries in the same session."""
     if sf_dir not in _READERS:
-        tag = hashlib.md5(f"{sf_dir}:fmt2".encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"{sf_dir}:fmt3pos".encode()).hexdigest()[:10]
         idx = os.path.join("/tmp/afspark_entry_idx", tag)
         t = documents_as_transcripts(spark, sf_dir)
-        build_index(spark, t, idx, resume=True)
+        build_index(spark, t, idx, cfg=_ENTRY_CFG, resume=True)
         _READERS[sf_dir] = IndexReader(spark, idx)
     return _READERS[sf_dir]
 
 
 def _topk_to_docids(df: DataFrame) -> DataFrame:
-    """(conv_id='doc-%08d', turn_idx, score) → (doc_id, score_e6), preserving
+    """(conv_id='doc-%012d', turn_idx, score) → (doc_id, score_e6), preserving
     the engine's total order (docID order == conv_id order)."""
     return df.select(
         F.substring("conv_id", 5, 12).cast("long").alias("doc_id"),
@@ -153,6 +156,14 @@ def q_bm25_topk_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-k over the POSITIONAL index: docs containing the
+    token sequence, BM25-ranked with full-corpus stats."""
+    from audioflux_spark.operators.phrase import bm25_topk_phrase
+
+    return _topk_to_docids(bm25_topk_phrase(_reader(spark, sf_dir), "table window", 15))
+
+
 def q_term_doc_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _doc_tokens(spark, sf_dir)
@@ -174,13 +185,18 @@ def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()
+    """Single-job corpus stats: explode_outer keeps token-less docs in the
+    n_docs count, so no separate count() job over the documents table."""
+    tok = _docs(spark, sf_dir).select(
+        "doc_id", F.explode_outer(tokens_col("text")).alias("term")
+    )
     return tok.agg(
-        F.lit(n_docs).cast("long").alias("n_docs"),
-        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("term").alias("total_tokens"),
         F.countDistinct("term").alias("distinct_terms"),
-        F.round(F.count(F.lit(1)) / F.lit(float(n_docs)) * 1e6).cast("long").alias("avgdl_e6"),
+        F.round(F.count("term") / F.countDistinct("doc_id") * 1e6)
+        .cast("long")
+        .alias("avgdl_e6"),
     )
 
 
@@ -270,49 +286,118 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup: top-50 candidate pairs by 3-shingle Jaccard.
-    Scale path: the shingle self-join is the LSH-free baseline; hot shingles
-    are bounded because shingles are near-unique (vocab^3 space)."""
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("inter") * 1e6 / (F.col("na") + F.col("nb") - F.col("inter")))
-            .cast("long")
-            .alias("jaccard_e6"),
-        )
-        .orderBy(F.desc("jaccard_e6"), "doc_a", "doc_b")
-        .limit(50)
-    )
-
-
 N_MINHASH = 8
+N_BANDS = 4          # 8 minhashes → 4 bands × 2 rows (LSH banding)
+MAX_BUCKET = 500     # drop degenerate buckets (boilerplate mega-clusters)
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures over 3-shingles: 8 'permutations' via salted md5,
-    lexicographic min (portable to any engine with md5). Signature digest per
-    doc; banding/bucketing of these signatures is the LSH candidate step."""
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m7): 8 'permutations' via salted md5, lexicographic min —
+    portable to any engine with md5 (the DuckDB oracle computes the same)."""
     sh = _shingles(spark, sf_dir)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{j} "), F.col("shingle")))).alias(f"m{j}")
         for j in range(N_MINHASH)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band → bucket → candidate-pair emission (the scale-correct
+    dedup primitive): docs agreeing on ALL rows of ≥1 band become a pair.
+
+    Scale shape: the only join is a self-join on (band, bucket) — bucket
+    population is bounded by true near-dup cluster size, and buckets larger
+    than MAX_BUCKET (boilerplate collisions) are dropped before the join, so
+    no quadratic blowup is reachable. Contrast with the all-pairs shingle
+    self-join this replaced (quadratic on any hot shingle)."""
+    sig = _minhash_signature(spark, sf_dir)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*bands)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    w = Window.partitionBy("band", "bucket")
+    buckets = buckets.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= MAX_BUCKET
+    ).drop("bsz")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _jaccard_on_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> DataFrame:
+    """Exact 3-shingle Jaccard, computed ONLY on candidate pairs: shingles
+    join against the (small) pair list, never against themselves."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                * 1e6
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("inter"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("jaccard_e6"),
+        )
+    )
+
+
+def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified with exact Jaccard — the full
+    banded dedup pipeline (signature → band → bucket → pair → verify)."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    return _jaccard_on_pairs(spark, sf_dir, pairs).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: top-50 LSH-candidate pairs by exact 3-shingle
+    Jaccard. The candidate set comes from MinHash-LSH banding (no all-pairs
+    shingle self-join anywhere — that baseline is quadratic on any hot
+    boilerplate shingle at corpus scale)."""
+    pairs = _lsh_candidate_pairs(spark, sf_dir)
+    return (
+        _jaccard_on_pairs(spark, sf_dir, pairs)
+        .orderBy(F.desc("jaccard_e6"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over 3-shingles: 8 'permutations' via salted md5,
+    lexicographic min (portable to any engine with md5). Signature digest per
+    doc; q_dedup_lsh_pairs bands these signatures into candidate pairs."""
+    sig = _minhash_signature(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.md5(F.concat_ws("|", *[F.col(f"m{j}") for j in range(N_MINHASH)])).alias("minhash_sig"),
@@ -378,6 +463,59 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style bucket-pruned ANN: search only the query's cluster (label)."""
     return _cosine_topk(spark, sf_dir, restrict_label=True)
+
+
+ANN_K_CENTROIDS = 8
+ANN_NPROBE = 2
+ANN_TRAIN_SAMPLE = 2048  # deterministic bounded trainer sample (vec_id < n)
+
+
+def _ivf_model(spark: SparkSession, sf_dir: str):
+    """(centroids, probe buckets for query vec 0) — deterministic Lloyd
+    k-means on a bounded vec_id-pushdown sample (the FAISS coarse-quantizer
+    discipline: train on a sample, assign everything)."""
+    import numpy as np
+
+    from audioflux_spark.operators.ann import ivf_probe_buckets, kmeans_train
+
+    rows = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < ANN_TRAIN_SAMPLE)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = kmeans_train(X, ANN_K_CENTROIDS)
+    qv = X[next(i for i, r in enumerate(rows) if r["vec_id"] == 0)]
+    return C, ivf_probe_buckets(qv, C, ANN_NPROBE)
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF ANN: k-means coarse quantizer, query probes its
+    nprobe nearest buckets, exact cosine only inside them (scan of ~nprobe/k
+    of the corpus instead of all of it; assignment is an Arrow-batched kernel
+    over the full table)."""
+    from audioflux_spark.operators.ann import ivf_assignments
+
+    C, probes = _ivf_model(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    assign = ivf_assignments(emb, C)
+    cand = assign.filter(F.col("bucket").isin(probes)).join(emb, "vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    j = cand.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    ).crossJoin(F.broadcast(q))
+    cos = _dot(F.col("ev"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        j.select("vec_id", _e6(cos).alias("cos_e6"))
+        .orderBy(F.desc("cos_e6"), "vec_id")
+        .limit(10)
+    )
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,7 +721,9 @@ def q_events_delta_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Viterbi decoding of event values under a fixed 2-state
     Gaussian HMM (/root/reference/src/classic/viterbi.c analog). Iterative DP
-    — not SQL-expressible, so no oracle (driver records rows-only)."""
+    — oracled against the in-repo kernel run single-node over pandas (the
+    driver hash check then verifies the DISTRIBUTED execution; the kernel
+    math itself is pytest-verified against planted parameters)."""
     from audioflux_spark.operators.sequence import viterbi_decode
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
@@ -597,8 +737,9 @@ def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source NMF topic assignment over the (doc, term, tf) matrix
-    (/root/reference/src/classic/nmf.c analog). Iterative — no SQL oracle
-    (rows-only check)."""
+    (/root/reference/src/classic/nmf.c analog). Sparse multiplicative updates
+    (COO + bincount — no dense V); deterministic accumulation order, so the
+    single-node oracle referee hash-matches exactly."""
     from audioflux_spark.operators.sequence import nmf_topics
 
     tf = (
@@ -607,9 +748,34 @@ def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
         .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
     )
-    return nmf_topics(tf, "source", "doc_id", "term", "tf", k=3).orderBy(
-        "group", "row_id"
+    return (
+        nmf_topics(tf, "source", "doc_id", "term", "tf", k=3)
+        .select("group", "row_id", "topic", _e6(F.col("weight")).alias("weight_e6"))
+        .orderBy("group", "row_id")
     )
+
+
+def q_hmm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Baum-Welch EM training of a 2-state Gaussian HMM over event
+    values (/root/reference/src/classic/hmm.c:32-120 analog): scaled
+    forward/backward + EM, vectorized over states, parallel over users.
+    States reported in ascending-mean order (label-switch stable)."""
+    from audioflux_spark.operators.sequence import hmm_fit
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value")
+    )
+    fitted = hmm_fit(ev, "user_id", ["event_id"], "value")
+    return fitted.select(
+        "group",
+        "state",
+        _e6(F.col("init_p")).alias("init_p_e6"),
+        _e6(F.col("mean")).alias("mean_e6"),
+        _e6(F.col("std")).alias("std_e6"),
+        _e6(F.col("stay_p")).alias("stay_p_e6"),
+        "n_iter",
+        "n_obs",
+    ).orderBy("group", "state")
 
 
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +810,57 @@ def q_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         _e6(F.log("L") - F.col("tlogt") / F.col("L")).alias("entropy_e6"),
     ).orderBy("doc_id")
+
+
+def q_doc_tf_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc weighted moments over the term axis — the reference's spectral
+    centroid/spread/skewness/kurtosis (/root/reference/src/feature/
+    spectral_algorithm.c:311-397: Σw·x^p raw moments → central moments), with
+    frequency → token length and amplitude weight → term frequency. One
+    groupBy: raw moments Σw, Σwx..Σwx⁴ accumulated map-side, centered on the
+    driver-free combine exactly as the reference's single pass."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    x = F.length("term").cast("double")
+    raw = tf.groupBy("doc_id").agg(
+        F.sum("w").alias("s0"),
+        F.sum(F.col("w") * x).alias("s1"),
+        F.sum(F.col("w") * x * x).alias("s2"),
+        F.sum(F.col("w") * x * x * x).alias("s3"),
+        F.sum(F.col("w") * x * x * x * x).alias("s4"),
+    )
+    c = F.col("s1") / F.col("s0")
+    var = F.col("s2") / F.col("s0") - c * c
+    spread = F.sqrt(var)
+    m3 = F.col("s3") / F.col("s0") - 3 * c * F.col("s2") / F.col("s0") + 2 * c * c * c
+    m4 = (
+        F.col("s4") / F.col("s0")
+        - 4 * c * F.col("s3") / F.col("s0")
+        + 6 * c * c * F.col("s2") / F.col("s0")
+        - 3 * c * c * c * c
+    )
+    return raw.select(
+        "doc_id",
+        _e6(c).alias("centroid_e6"),
+        _e6(spread).alias("spread_e6"),
+        _e6(F.when(var > 1e-12, m3 / (spread * var)).otherwise(F.lit(0.0))).alias("skew_e6"),
+        _e6(F.when(var > 1e-12, m4 / (var * var)).otherwise(F.lit(0.0))).alias("kurt_e6"),
+    ).orderBy("doc_id")
+
+
+def q_events_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic sliding MEDIAN (5-wide trailing, per user) — the HPSS
+    median filter (/root/reference/src/mir/hpss_algorithm.c:233-234
+    __mmedianfilter) over an event stream; exact percentile, not approx."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    med = F.expr(
+        "percentile(value, 0.5) OVER (PARTITION BY user_id ORDER BY t, event_id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select("event_id", _e6(med).alias("med5_e6")).orderBy("event_id")
 
 
 def q_doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,6 +906,97 @@ FROM sig ORDER BY doc_id
 """
 
 
+def _lsh_jaccard_sql(order_clause: str) -> str:
+    """DuckDB twin of the MinHash-LSH banded candidate pipeline: identical
+    signatures (salted md5 min), identical 4×2 banding, identical bucket-size
+    cap, exact Jaccard on the emitted pairs only."""
+    mins = ",\n    ".join(
+        f"min(md5(concat('{j} ', shingle))) AS m{j}" for j in range(N_MINHASH)
+    )
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', m{2 * b}, m{2 * b + 1})) AS bucket FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets_all AS (
+  {band_union}
+),
+buckets AS (
+  SELECT doc_id, band, bucket FROM (
+    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz
+    FROM buckets_all
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(ROUND(coalesce(i.inter, 0) * 1000000.0 /
+            (sa.n + sb.n - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e6
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+{order_clause}
+"""
+
+
+def _phrase_sql(phrase_terms: list[str], k: int) -> str:
+    """BM25 over the phrase's terms with FULL-corpus stats (N, avgdl, df),
+    candidates restricted to docs containing the exact token sequence
+    (space-guarded substring of the space-joined token stream — tokens can't
+    contain spaces, so the match is exact at token boundaries)."""
+    terms_in = ", ".join(f"'{t}'" for t in phrase_terms)
+    phrase = " ".join(phrase_terms)
+    return f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS doc_len FROM tok GROUP BY doc_id),
+corpus AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(doc_len) FROM dl) / (SELECT count(*) FROM documents) AS avgdl
+),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       WHERE term IN ({terms_in}) GROUP BY doc_id, term),
+idf AS (SELECT term, ln(1 + ((SELECT n_docs FROM corpus) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+        FROM tf GROUP BY term),
+phrase_docs AS (
+  SELECT doc_id FROM documents
+  WHERE ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''), ' ') || ' '
+        LIKE '% {phrase} %'
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(idf.idf * tf.tf * {K1 + 1.0} /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM corpus)))) AS score
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+  WHERE tf.doc_id IN (SELECT doc_id FROM phrase_docs)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
+FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
 def _simhash_sql() -> str:
     sums = ",\n    ".join(
         f"sum(CASE WHEN ascii(substr(md5(term), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
@@ -717,13 +1025,64 @@ ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
 
 
+ORACLE_SF_DIR = "/root/testdata/sf0.01"  # the driver's correctness tier
+
+
+def _materialized_oracles() -> dict[str, str]:
+    """Referee SQL for the iterative (non-SQL-expressible) operators: run the
+    in-repo NumPy kernels single-node over pandas at the correctness tier,
+    write the expected rows to parquet, and hand DuckDB a read_parquet query.
+    The hash check then verifies the engine's distributed execution against
+    the same deterministic math executed without Spark (kernel math itself is
+    pytest-verified against planted parameters)."""
+    from audioflux_spark import oracle_expected as oe
+
+    out = {}
+    for name, fn, order in [
+        ("viterbi_states", oe.viterbi_expected, "user_id, event_id"),
+        ("nmf_topics", oe.nmf_expected, '"group", row_id'),
+        ("hmm_fit", oe.hmm_expected, '"group", state'),
+    ]:
+        try:
+            path = oe.materialize(name, fn(ORACLE_SF_DIR))
+            out[name] = f"SELECT * FROM read_parquet('{path}') ORDER BY {order}"
+        except Exception:  # noqa: BLE001 — missing tier dir etc.: fall back to rows-only
+            pass
+    # IVF: only TRAINING+ASSIGNMENT are materialized (shared deterministic
+    # routines); DuckDB still performs the probe-pruned cosine search itself
+    try:
+        assign, probes = oe.ann_assign_expected(
+            ORACLE_SF_DIR, ANN_K_CENTROIDS, ANN_NPROBE, ANN_TRAIN_SAMPLE
+        )
+        path = oe.materialize("ann_ivf_assign", assign)
+        probes_in = ", ".join(str(p) for p in probes)
+        out["ann_ivf_trained"] = f"""
+WITH a AS (SELECT * FROM read_parquet('{path}')),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+e AS (
+  SELECT emb.vec_id, emb.embedding::DOUBLE[] AS ev
+  FROM embeddings emb JOIN a USING (vec_id)
+  WHERE a.bucket IN ({probes_in})
+)
+SELECT vec_id,
+       CAST(ROUND(list_dot_product(ev, qv) /
+            (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) * 1000000) AS BIGINT) AS cos_e6
+FROM e, q ORDER BY cos_e6 DESC, vec_id LIMIT 10
+"""
+    except Exception:  # noqa: BLE001
+        pass
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
     return {
+        **_materialized_oracles(),
         "bm25_topk_hot": _bm25_sql(["join", "hash", "row"], 20),
         "bm25_topk_rare": _bm25_sql(["dup", "the"], 25),
         "bm25_topk_exhaustive": _bm25_sql(["dup", "window"], 15),
         "bm25_topk_lang_filtered": _bm25_sql(["join", "hash"], 15, where="lang = 'en'"),
+        "bm25_topk_phrase": _phrase_sql(["table", "window"], 15),
         "term_doc_freqs": f"""
 WITH tok AS ({_TOK_SQL})
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS total_tf
@@ -779,29 +1138,10 @@ FROM tok GROUP BY doc_id ORDER BY doc_id
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY md5(text) ORDER BY text_hash
 """,
-        "dedup_shingle_jaccard": """
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
-  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
-  WHERE len(t) >= 3
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(ROUND(inter * 1000000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_e6
-FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-ORDER BY jaccard_e6 DESC, doc_a, doc_b LIMIT 50
-""",
+        "dedup_shingle_jaccard": _lsh_jaccard_sql(
+            "ORDER BY 3 DESC, 1, 2 LIMIT 50"  # positional: (jaccard_e6, doc_a, doc_b)
+        ),
+        "dedup_lsh_pairs": _lsh_jaccard_sql("ORDER BY 1, 2"),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "ann_topk_cosine": _cosine_sql(False),
@@ -931,6 +1271,41 @@ per_doc AS (SELECT doc_id, sum(tf) AS L, sum(tf * ln(tf)) AS tlogt FROM tf GROUP
 SELECT doc_id, CAST(ROUND((ln(L) - tlogt / L) * 1000000) AS BIGINT) AS entropy_e6
 FROM per_doc ORDER BY doc_id
 """,
+        "doc_tf_moments": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
+raw AS (
+  SELECT doc_id,
+         sum(w) AS s0,
+         sum(w * length(term)) AS s1,
+         sum(w * length(term) * length(term)) AS s2,
+         sum(w * length(term) * length(term) * length(term)) AS s3,
+         sum(w * length(term) * length(term) * length(term) * length(term)) AS s4
+  FROM tf GROUP BY doc_id
+),
+cm AS (
+  SELECT doc_id, s1 / s0 AS c, s2 / s0 - (s1 / s0) * (s1 / s0) AS var,
+         s0, s1, s2, s3, s4
+  FROM raw
+)
+SELECT doc_id,
+       CAST(ROUND(c * 1000000) AS BIGINT) AS centroid_e6,
+       CAST(ROUND(sqrt(var) * 1000000) AS BIGINT) AS spread_e6,
+       CAST(ROUND((CASE WHEN var > 1e-12
+            THEN (s3 / s0 - 3 * c * s2 / s0 + 2 * c * c * c) / (sqrt(var) * var)
+            ELSE 0 END) * 1000000) AS BIGINT) AS skew_e6,
+       CAST(ROUND((CASE WHEN var > 1e-12
+            THEN (s4 / s0 - 4 * c * s3 / s0 + 6 * c * c * s2 / s0 - 3 * c * c * c * c) / (var * var)
+            ELSE 0 END) * 1000000) AS BIGINT) AS kurt_e6
+FROM cm ORDER BY doc_id
+""",
+        "events_sliding_median": """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events)
+SELECT event_id,
+       CAST(ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS med5_e6
+FROM e ORDER BY event_id
+""",
         "doc_tf_stats": f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -948,6 +1323,7 @@ def queries():
         "bm25_topk_rare": q_bm25_topk_rare,
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
+        "bm25_topk_phrase": q_bm25_topk_phrase,
         "term_doc_freqs": q_term_doc_freqs,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,
@@ -957,10 +1333,12 @@ def queries():
         "token_fingerprint": q_token_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_ivf_label": q_ann_ivf_label,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_norms": q_embedding_norms,
         "events_hourly": q_events_hourly,
         "events_user_topk": q_events_user_topk,
@@ -973,9 +1351,12 @@ def queries():
         "source_novelty": q_source_novelty,
         "viterbi_states": q_viterbi_states,
         "nmf_topics": q_nmf_topics,
+        "hmm_fit": q_hmm_fit,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,
+        "doc_tf_moments": q_doc_tf_moments,
+        "events_sliding_median": q_events_sliding_median,
     }
 
 

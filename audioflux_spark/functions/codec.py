@@ -255,6 +255,14 @@ def encode_segment_batch_flat(
     block_offsets = np.empty(term_starts.size + 1, dtype=np.int32)
     block_offsets[0] = 0
     np.cumsum(blocks_per_term, out=block_offsets[1:])
+
+    def _block_bytes(lens: np.ndarray) -> np.ndarray:
+        # per-block byte LENGTH (not offset): lengths survive the merge's
+        # blob concatenation unchanged; readers cumsum them to get offsets,
+        # which is what lets BMW decode ONLY surviving blocks (byte skipping)
+        return (np.add.reduceat(lens, blk_starts).astype(np.int32)
+                if n else np.zeros(0, dtype=np.int32))
+
     return {
         "doc_buf": doc_buf, "doc_offsets": _offsets(doc_buf, doc_lens_b),
         "tf_buf": tf_buf, "tf_offsets": _offsets(tf_buf, tf_lens_b),
@@ -262,8 +270,49 @@ def encode_segment_batch_flat(
         "counts_flat": (blk_ends - blk_starts).astype(np.int32),
         "firsts_flat": doc_ids[blk_starts].astype(np.int64),
         "maxes_flat": (np.maximum.reduceat(tfn, blk_starts) if n else np.zeros(0)),
+        "doc_bytes_flat": _block_bytes(doc_lens_b),
+        "tf_bytes_flat": _block_bytes(tf_lens_b),
+        "dl_bytes_flat": _block_bytes(dl_lens_b),
         "block_offsets": block_offsets,
     }
+
+
+def encode_positions_flat(
+    pos: np.ndarray,
+    posting_starts: np.ndarray,
+    term_token_starts: np.ndarray,
+) -> tuple[bytes, np.ndarray]:
+    """Encode token positions (token-level array, grouped by posting) as
+    varint deltas resetting at every posting boundary (first position stored
+    as pos+1 against base −1, like doc gaps). Self-contained per posting, so
+    merged blobs are the partials' bytes back-to-back and decoding needs only
+    the per-posting counts — which ARE the tf values (one position per
+    occurrence; no extra metadata).
+
+    Returns (flat byte buffer, per-TERM byte offsets) for Arrow Binary
+    construction. Positions give the index the reference framing operators'
+    order preservation (/root/reference/src/stft_algorithm.c:813-833) —
+    the substrate for exact-phrase queries."""
+    n = pos.size
+    if n == 0:
+        return b"", np.zeros(term_token_starts.size + 1, dtype=np.int32)
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[1:] = pos[1:] - pos[:-1]
+    gaps[posting_starts] = pos[posting_starts] + 1
+    buf, lens = varint_encode_with_lengths(gaps.astype(np.uint64))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    offs = np.empty(term_token_starts.size + 1, dtype=np.int32)
+    offs[:-1] = starts[term_token_starts]
+    offs[-1] = len(buf)
+    return buf, offs
+
+
+def decode_positions(blob: bytes | memoryview, tf: np.ndarray) -> np.ndarray:
+    """pos blob + per-posting tf counts → flat position array (token-level,
+    aligned with postings expanded by tf)."""
+    gaps = varint_decode(blob, int(tf.sum())).astype(np.int64)
+    return delta_decode_segmented(gaps, np.ascontiguousarray(tf, dtype=np.int64))
 
 
 def block_stats(

@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 
 from audioflux_spark.config import DEFAULT, EngineConfig
 from audioflux_spark.functions.analyzer import doc_len_col
-from audioflux_spark.functions.codec import encode_segment_batch_flat
+from audioflux_spark.functions.codec import (
+    encode_positions_flat,
+    encode_segment_batch_flat,
+)
 from audioflux_spark.plans.checkpoint import (
     Manifest,
     PartitionEntry,
@@ -44,18 +47,15 @@ from audioflux_spark.plans.checkpoint import (
     save_manifest,
 )
 
-PARTIAL_SCHEMA = (
-    "seg_id int, term string, df long, first_doc long, last_doc long, "
-    "doc_blob binary, tf_blob binary, dl_blob binary, "
-    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
-    "part_counts array<long>"
-)
-MERGED_SCHEMA = (
+_SEG_COLS = (
     "term string, df long, first_doc long, last_doc long, "
-    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, pos_blob binary, "
     "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
+    "block_doc_bytes array<int>, block_tf_bytes array<int>, block_dl_bytes array<int>, "
     "part_counts array<long>"
 )
+PARTIAL_SCHEMA = "seg_id int, " + _SEG_COLS
+MERGED_SCHEMA = _SEG_COLS
 DOCSTORE_SCHEMA = (
     "doc_id long, conv_id string, turn_idx int, role string, text string, "
     "tool string, ts timestamp_ntz, doc_len long, seg_id int"
@@ -194,6 +194,7 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
     block_size = cfg.index.block_size
     split_pat = cfg.analyzer.split_pattern
     lowercase = cfg.analyzer.lowercase
+    store_pos = cfg.index.store_positions
 
     out_schema = pa.schema(
         [
@@ -205,9 +206,13 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
             ("doc_blob", pa.binary()),
             ("tf_blob", pa.binary()),
             ("dl_blob", pa.binary()),
+            ("pos_blob", pa.binary()),
             ("block_counts", pa.list_(pa.int32())),
             ("block_firsts", pa.list_(pa.int64())),
             ("block_maxes", pa.list_(pa.float64())),
+            ("block_doc_bytes", pa.list_(pa.int32())),
+            ("block_tf_bytes", pa.list_(pa.int32())),
+            ("block_dl_bytes", pa.list_(pa.int32())),
             ("part_counts", pa.list_(pa.int64())),
         ]
     )
@@ -241,12 +246,21 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
         codes = denc.indices.to_numpy().astype(np.int64)
         dictionary = denc.dictionary
 
-        # single combined-key VALUE sort (term-major, doc ascending within
-        # term). No argsort/lexsort: original positions are never needed, and
-        # a value sort of one int64 array is ~8x cheaper than a two-key
-        # lexsort — this was the kernel's dominant cost.
+        # single combined-key sort (term-major, doc ascending within term).
+        # Without positions: a VALUE sort — original token order never needed,
+        # ~8x cheaper than a two-key lexsort (this was the kernel's dominant
+        # cost). With positions: one STABLE argsort — tokens appear in
+        # document order, so stability alone leaves each posting's positions
+        # ascending with no extra sort key.
         combined = codes * n_rows + parent
-        combined.sort()
+        if store_pos:
+            doc_first_tok = np.cumsum(doc_len) - doc_len
+            pos_tok = np.arange(combined.size, dtype=np.int64) - doc_first_tok[parent]
+            order = np.argsort(combined, kind="stable")
+            combined = combined[order]
+            pos_tok = pos_tok[order]
+        else:
+            combined.sort()
         change = np.empty(combined.size, dtype=bool)
         change[0] = True
         np.not_equal(combined[1:], combined[:-1], out=change[1:])
@@ -265,6 +279,12 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
             u_docs, tf, doc_len[u_local], term_bounds, avgdl, k1, b, block_size
         )
         n_terms = term_bounds.size
+        if store_pos:
+            pos_buf, pos_offs = encode_positions_flat(
+                pos_tok, starts, starts[term_bounds]
+            )
+        else:
+            pos_buf, pos_offs = b"", np.zeros(n_terms + 1, dtype=np.int32)
 
         def bin_arr(buf: bytes, offs: np.ndarray) -> pa.Array:
             return pa.Array.from_buffers(
@@ -287,9 +307,13 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
                 bin_arr(enc["doc_buf"], enc["doc_offsets"]),
                 bin_arr(enc["tf_buf"], enc["tf_offsets"]),
                 bin_arr(enc["dl_buf"], enc["dl_offsets"]),
+                bin_arr(pos_buf, pos_offs),
                 list_arr(enc["block_offsets"], enc["counts_flat"], pa.int32()),
                 list_arr(enc["block_offsets"], enc["firsts_flat"], pa.int64()),
                 list_arr(enc["block_offsets"], enc["maxes_flat"], pa.float64()),
+                list_arr(enc["block_offsets"], enc["doc_bytes_flat"], pa.int32()),
+                list_arr(enc["block_offsets"], enc["tf_bytes_flat"], pa.int32()),
+                list_arr(enc["block_offsets"], enc["dl_bytes_flat"], pa.int32()),
                 # one partial per term at build time: part_counts = [df]
                 list_arr(
                     np.arange(n_terms + 1, dtype=np.int32),
@@ -305,7 +329,8 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
 
 MERGED_COLS = [
     "term", "df", "first_doc", "last_doc", "doc_blob", "tf_blob", "dl_blob",
-    "block_counts", "block_firsts", "block_maxes", "part_counts",
+    "pos_blob", "block_counts", "block_firsts", "block_maxes",
+    "block_doc_bytes", "block_tf_bytes", "block_dl_bytes", "part_counts",
 ]
 
 
@@ -333,9 +358,13 @@ def _make_merge_stream(key_cols: list[str]):
             ("doc_blob", pa.binary()),
             ("tf_blob", pa.binary()),
             ("dl_blob", pa.binary()),
+            ("pos_blob", pa.binary()),
             ("block_counts", pa.list_(pa.int32())),
             ("block_firsts", pa.list_(pa.int64())),
             ("block_maxes", pa.list_(pa.float64())),
+            ("block_doc_bytes", pa.list_(pa.int32())),
+            ("block_tf_bytes", pa.list_(pa.int32())),
+            ("block_dl_bytes", pa.list_(pa.int32())),
             ("part_counts", pa.list_(pa.int64())),
         ]
     )
@@ -404,15 +433,37 @@ def _make_merge_stream(key_cols: list[str]):
                 merged_binary("doc_blob"),
                 merged_binary("tf_blob"),
                 merged_binary("dl_blob"),
+                merged_binary("pos_blob"),
                 merged_list("block_counts"),
                 merged_list("block_firsts"),
                 merged_list("block_maxes"),
+                merged_list("block_doc_bytes"),
+                merged_list("block_tf_bytes"),
+                merged_list("block_dl_bytes"),
                 merged_list("part_counts"),
             ],
             schema=out_schema,
         )
 
     return merge_stream
+
+
+def _phase_timer():
+    """AFSPARK_BUILD_PROFILE=1 → stage wall times on stderr (scaling triage)."""
+    import sys
+    import time
+
+    if os.environ.get("AFSPARK_BUILD_PROFILE", "") != "1":
+        return lambda name: None
+    state = {"t": time.perf_counter()}
+
+    def mark(name: str) -> None:
+        now = time.perf_counter()
+        sys.stderr.write(f"BUILD_PHASE {name} {now - state['t']:.2f}s\n")
+        sys.stderr.flush()
+        state["t"] = now
+
+    return mark
 
 
 def build_index(
@@ -429,6 +480,7 @@ def build_index(
     segments/ (merged, range-partitioned + sorted by term).
     """
     os.makedirs(index_dir, exist_ok=True)
+    mark = _phase_timer()
 
     base, shuffled = _partitioned_base(transcripts, cfg.index.build_partitions)
     if shuffled:
@@ -437,6 +489,7 @@ def build_index(
     with_pid = base.withColumn("pid", F.spark_partition_id())
     # one combined pass: fingerprints + corpus stats (no separate scan)
     fps, n_docs, total_tokens = _partition_stats(with_pid, cfg)
+    mark("stats")
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     offsets = _offsets_from_counts(fps, P)
 
@@ -446,6 +499,26 @@ def build_index(
 
     partial_dir = os.path.join(index_dir, "segments_partial")
     docstore_dir = os.path.join(index_dir, "docstore")
+
+    # ghost cleanup: a resumed index_dir may carry seg_id dirs from a PREVIOUS
+    # partition layout (different split config or smaller input → fewer pids).
+    # Stale dirs would be swept into the merge with docIDs that collide with
+    # the new offsets — delete any seg_id not in the current fingerprint set,
+    # drop its manifest entry, and force a re-merge.
+    ghosts = False
+    for d in (partial_dir, docstore_dir):
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.startswith("seg_id="):
+                    pid = int(name.split("=", 1)[1])
+                    if pid not in fps:
+                        shutil.rmtree(os.path.join(d, name))
+                        ghosts = True
+    for pid in sorted(set(manifest.entries) - set(fps)):
+        del manifest.entries[pid]
+        ghosts = True
+    if ghosts:
+        save_manifest(index_dir, manifest)
 
     if missing:
         keep = set(missing)
@@ -459,10 +532,12 @@ def build_index(
         _docstore_df(with_pid, offsets, keep, cfg).write.partitionBy(
             "seg_id"
         ).mode("append").parquet(docstore_dir)
+        mark("docstore")
 
         with_pid.select("pid", "text").mapInArrow(
             _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
         ).write.partitionBy("seg_id").mode("append").parquet(partial_dir)
+        mark("partials")
 
         # lineage metrics per freshly-built partition
         stats = (
@@ -498,14 +573,16 @@ def build_index(
         for e in manifest.entries.values():
             e.skew_ratio = (e.postings / mean_postings) if mean_postings else 0.0
         save_manifest(index_dir, manifest)
+        mark("lineage")
 
     if shuffled:
         base.unpersist()
 
     # ---- merge phase: two-phase salted repartition-by-term ----
     # skip when resuming an untouched, fully-merged index
-    if missing or not os.path.exists(os.path.join(index_dir, "segments")):
+    if missing or ghosts or not os.path.exists(os.path.join(index_dir, "segments")):
         merge_segments(spark, index_dir, cfg)
+    mark("merge")
 
     meta = IndexMeta(
         n_docs=n_docs,

@@ -1,0 +1,173 @@
+"""Exact-phrase search over the positional index.
+
+The reference's framing operators preserve intra-frame order
+(/root/reference/src/stft_algorithm.c:813-833 — samples keep their position
+inside each frame); the positional index preserves token order the same way
+(per-posting position deltas, functions/codec.encode_positions_flat), which
+is what makes "exact phrase" — the second query every search user types —
+answerable without rescanning text.
+
+Kernel shape (vectorized, no per-doc Python): a doc contains the phrase
+t₀ t₁ … t_{m-1} iff ∩_i { (doc, p - i) : p ∈ positions(t_i, doc) } ≠ ∅.
+Each term's (doc, position) pairs become int64 keys doc·M + (pos − i); the
+phrase test is then m−1 successive np.intersect1d calls — set intersection
+over sorted int64 arrays, the same primitive the reference's vector library
+exposes as sorted search (/root/reference/src/vector/flux_vector.h).
+
+Matched docs are scored with standard BM25 over the phrase terms (global
+N/avgdl/df — exact corpus-level scores), so results rank like any other
+query. Scoring runs per-generation in executor tasks via applyInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from audioflux_spark.functions.bm25 import idf_value
+from audioflux_spark.functions.codec import (
+    decode_positions,
+    delta_decode_segmented,
+    varint_decode,
+)
+from audioflux_spark.operators.topk import query_terms
+from audioflux_spark.sources.segments import IndexReader
+
+# position-key stride: must exceed any doc_len + phrase length; doc ids up to
+# ~1e12 still fit int64 (1e12 · 2^22 < 2^63)
+_POS_STRIDE = 1 << 22
+
+
+def _decode_full(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, tf, dl, positions) for one merged term row (full decode —
+    phrase terms are decoded once, not block-pruned).
+
+    Doc ids are BLOCK-anchored (each block's first docID re-anchors its delta
+    chain) rather than partial-anchored: block_firsts is then the only
+    absolute docID state in the whole row, which is what lets generation
+    compaction shift docID spaces without touching a single blob byte."""
+    n = int(row["df"])
+    gaps = varint_decode(bytes(row["doc_blob"]), n).astype(np.int64)
+    counts = np.asarray(row["block_counts"], dtype=np.int64)
+    firsts = np.asarray(row["block_firsts"], dtype=np.int64)
+    rel = delta_decode_segmented(gaps, counts)
+    block_starts = np.cumsum(counts) - counts
+    doc_ids = rel - np.repeat(rel[block_starts], counts) + np.repeat(firsts, counts)
+    tf = varint_decode(bytes(row["tf_blob"]), n).astype(np.int64)
+    dl = varint_decode(bytes(row["dl_blob"]), n).astype(np.int64)
+    pos = decode_positions(bytes(row["pos_blob"]), tf)
+    return doc_ids, tf, dl, pos
+
+
+def phrase_match_kernel(
+    term_rows: list,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    idfs: dict[str, float],
+) -> tuple[np.ndarray, np.ndarray]:
+    """One generation's phrase match + BM25 scoring.
+
+    term_rows: one decoded segment row per phrase term (same generation).
+    Returns (doc_ids, scores) for docs containing the exact sequence."""
+    by_term = {r["term"]: r for r in term_rows}
+    if any(t not in by_term for t in terms):
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    decoded = {t: _decode_full(by_term[t]) for t in dict.fromkeys(terms)}
+
+    keys = None
+    for i, t in enumerate(terms):
+        doc_ids, tf, _dl, pos = decoded[t]
+        expanded = np.repeat(doc_ids, tf)
+        k_i = expanded * _POS_STRIDE + (pos - i)
+        k_i = k_i[pos >= i]  # a token at position < i cannot start-align
+        if keys is None:
+            keys = np.unique(k_i)
+        else:
+            keys = np.intersect1d(keys, k_i, assume_unique=False)
+        if keys.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    match_docs = np.unique(keys // _POS_STRIDE)
+
+    scores = np.zeros(match_docs.size, dtype=np.float64)
+    for t in dict.fromkeys(terms):
+        doc_ids, tf, dl, _pos = decoded[t]
+        ix = np.searchsorted(doc_ids, match_docs)
+        tff = tf[ix].astype(np.float64)
+        dlf = dl[ix].astype(np.float64)
+        scores += idfs[t] * tff * (k1 + 1.0) / (
+            tff + k1 * (1.0 - b + b * dlf / avgdl)
+        )
+    return match_docs, scores
+
+
+def bm25_topk_phrase(reader: IndexReader, phrase: str, k: int = 10) -> DataFrame:
+    """Exact-phrase top-k: docs containing the token sequence, ranked by the
+    BM25 score of the phrase's terms (global corpus stats), ties broken by
+    (conv_id, turn_idx). Requires an index built with store_positions."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    spark = reader.spark
+    terms = query_terms(phrase)
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+    if not terms or k <= 0:
+        return empty
+    k1, b = reader.meta.k1, reader.meta.b
+    n_docs, avgdl = reader.n_docs, reader.avgdl
+
+    seg_union = reduce(
+        DataFrame.unionByName,
+        [
+            g.segments.filter(F.col("term").isin(list(set(terms))))
+            .withColumn("gen", F.lit(g.gen_id))
+            for g in reader.generations
+        ],
+    )
+    # global df per term for exact idf (tiny agg on pruned columns)
+    gdf_rows = seg_union.groupBy("term").agg(F.sum("df").alias("gdf")).collect()
+    gdf = {r["term"]: int(r["gdf"]) for r in gdf_rows}
+    if any(t not in gdf for t in terms):
+        return empty
+    idfs = {t: idf_value(n_docs, gdf[t]) for t in set(terms)}
+
+    def match_gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        doc_ids, scores = phrase_match_kernel(
+            rows, terms, n_docs, avgdl, k1, b, idfs
+        )
+        return pd.DataFrame(
+            {
+                "gen": int(pdf["gen"].iloc[0]),
+                "doc_id": doc_ids,
+                "score": scores,
+            }
+        )
+
+    hits = seg_union.groupBy("gen").applyInPandas(
+        match_gen, schema="gen int, doc_id long, score double"
+    )
+    ds_union = reduce(
+        DataFrame.unionByName,
+        [
+            g.docstore.select(
+                F.lit(g.gen_id).alias("gen"), "doc_id", "conv_id", "turn_idx"
+            )
+            for g in reader.generations
+        ],
+    )
+    w = Window.orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+    return (
+        hits.join(ds_union, on=["gen", "doc_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("conv_id", "turn_idx", "score")
+        .orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+    )

@@ -6,21 +6,33 @@ local avg + delta) — block-max WAND (Ding & Suel, SIGIR 2011) is the same
 idea over posting lists: per-block exact upper bounds let the scorer skip
 every region that cannot beat the current k-th score (θ).
 
+Byte-skipping: posting bytes are varint-decoded *per block, on demand* —
+block metadata (first docID, upper bound, byte length) is enough to prune a
+block without ever touching its bytes. The per-block byte lengths stored in
+the segment schema make each block independently decodable (its first docID
+re-anchors the delta chain), which is the entire point of BMW at scale: a
+Zipf-head term's posting list is mostly skipped, not just mostly unscored.
+
 Vectorization contract (input_hint: no per-row Python): classic WAND chases
 per-document pointers — hostile to NumPy — so this kernel prunes at *block*
 granularity instead: elementary doc-id intervals are formed from the union of
-all query terms' block boundaries, each interval gets the exact upper bound
+all query terms' block boundaries, each interval gets the upper bound
 Σ_t idf_t · blockmax_t(interval), intervals are processed in descending bound
 order with whole-interval vectorized scoring, and processing stops once the
 next bound cannot reach θ (with a 1e-9 float-safety margin). Pruning power is
 identical to doc-at-a-time BMW up to block resolution; all inner loops are
 NumPy. Property-tested against exhaustive scoring (tests/test_index_wand.py).
 
-Two query surfaces:
-* ``bm25_topk_indexed``  — single query, blobs fetched via a pruned segment
-  scan (term IN (...) hits parquet min/max on the term-sorted files).
-* ``bm25_topk_many``     — a DataFrame of queries joined to segments and
-  scored per-query in parallel via applyInPandas (the serving path).
+Serving shapes (all scoring runs in EXECUTOR tasks — no posting blob ever
+reaches the driver):
+* ``bm25_topk_many``    — a DataFrame of queries broadcast-joined to the
+  term-pruned segment scan, doc-range SHARDED (each shard owns an exact
+  docID range; a term's blocks are byte-sliced to the ranges they overlap),
+  scored per (query, generation, shard) via applyInPandas, then k-way merged
+  with a rank window. Per-task memory is bounded by the shard size, not by
+  the hottest term's full posting list.
+* ``bm25_topk_indexed`` — single-query convenience wrapper over the same
+  path.
 """
 
 from __future__ import annotations
@@ -31,34 +43,98 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from audioflux_spark.functions.bm25 import idf_value
-from audioflux_spark.functions.codec import delta_decode_segmented, varint_decode
+from audioflux_spark.functions.codec import varint_decode
 from audioflux_spark.operators.topk import query_terms
 from audioflux_spark.sources.segments import IndexReader
 
 _EPS = 1e-9
 
+# default docs per WAND shard: sized so a shard's postings (worst case every
+# doc matching every query term) stay comfortably in one task's memory
+DEFAULT_SHARD_DOCS = 4_000_000
 
-def _decode_term(row, avgdl: float, k1: float, b: float, idf: float, ub_scale: float):
-    """Segment row → (doc_ids, contributions, block_firsts, block_ends, block_ubs).
 
-    ``idf`` is supplied by the caller (GLOBAL df across index generations, not
-    the row's per-generation df). ``ub_scale ≥ 1`` widens the stored block
-    maxes when the query-time avgdl exceeds the build-time avgdl of this
-    row's generation (tf-norm is monotone increasing in avgdl, bounded by the
-    avgdl ratio) — keeps the bounds safe for incremental indexes.
+class _TermBlocks:
+    """Lazy per-block posting decoder for one (term, generation) row.
+
+    Parses only block metadata up front; ``candidates(lo, hi)`` varint-decodes
+    just the blocks overlapping [lo, hi), each at most once (cached). A block
+    is self-contained: its stored first docID re-anchors the delta chain, so
+    decoding needs no bytes before the block (true byte skipping).
     """
-    n = int(row["df"])
-    gaps = varint_decode(bytes(row["doc_blob"]), n).astype(np.int64)
-    part_counts = np.asarray(row["part_counts"], dtype=np.int64)
-    doc_ids = delta_decode_segmented(gaps, part_counts)
-    tf = varint_decode(bytes(row["tf_blob"]), n).astype(np.float64)
-    dl = varint_decode(bytes(row["dl_blob"]), n).astype(np.float64)
-    contrib = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-    firsts = np.asarray(row["block_firsts"], dtype=np.int64)
-    counts = np.asarray(row["block_counts"], dtype=np.int64)
-    ends = doc_ids[np.cumsum(counts) - 1]  # last doc id of each block
-    ubs = idf * ub_scale * np.asarray(row["block_maxes"], dtype=np.float64)
-    return doc_ids, contrib, firsts, ends, ubs
+
+    __slots__ = (
+        "firsts", "ends", "ubs", "counts", "doc_off", "tf_off", "dl_off",
+        "doc_mv", "tf_mv", "dl_mv", "idf", "k1", "b", "avgdl", "_cache",
+        "blocks_decoded",
+    )
+
+    def __init__(self, row, avgdl: float, k1: float, b: float, idf: float,
+                 ub_scale: float):
+        self.counts = np.asarray(row["block_counts"], dtype=np.int64)
+        self.firsts = np.asarray(row["block_firsts"], dtype=np.int64)
+        self.ubs = idf * ub_scale * np.asarray(row["block_maxes"], dtype=np.float64)
+        nb = self.counts.size
+        # safe per-block end bound: no doc lives between one block's last and
+        # the next block's first, so next_first - 1 bounds the block;
+        # the row-level last_doc bounds the final block
+        self.ends = np.empty(nb, dtype=np.int64)
+        if nb:
+            self.ends[:-1] = self.firsts[1:] - 1
+            self.ends[-1] = int(row["last_doc"])
+
+        def _off(col: str) -> np.ndarray:
+            ln = np.asarray(row[col], dtype=np.int64)
+            out = np.empty(ln.size + 1, dtype=np.int64)
+            out[0] = 0
+            np.cumsum(ln, out=out[1:])
+            return out
+
+        self.doc_off = _off("block_doc_bytes")
+        self.tf_off = _off("block_tf_bytes")
+        self.dl_off = _off("block_dl_bytes")
+        self.doc_mv = memoryview(bytes(row["doc_blob"]))
+        self.tf_mv = memoryview(bytes(row["tf_blob"]))
+        self.dl_mv = memoryview(bytes(row["dl_blob"]))
+        self.idf, self.k1, self.b, self.avgdl = idf, k1, b, avgdl
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.blocks_decoded = 0
+
+    def _block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(i)
+        if got is not None:
+            return got
+        c = int(self.counts[i])
+        gaps = varint_decode(
+            self.doc_mv[self.doc_off[i]:self.doc_off[i + 1]], c
+        ).astype(np.int64)
+        docs = self.firsts[i] + np.cumsum(gaps) - gaps[0]
+        tf = varint_decode(
+            self.tf_mv[self.tf_off[i]:self.tf_off[i + 1]], c
+        ).astype(np.float64)
+        dl = varint_decode(
+            self.dl_mv[self.dl_off[i]:self.dl_off[i + 1]], c
+        ).astype(np.float64)
+        contrib = self.idf * tf * (self.k1 + 1.0) / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
+        )
+        self._cache[i] = (docs, contrib)
+        self.blocks_decoded += 1
+        return docs, contrib
+
+    def candidates(self, lo: int, hi: int) -> tuple[list, list]:
+        """Decoded (docs, contribs) pieces overlapping docID range [lo, hi)."""
+        bi = int(np.searchsorted(self.ends, lo, side="left"))
+        bj = int(np.searchsorted(self.firsts, hi, side="left"))
+        out_d, out_c = [], []
+        for i in range(bi, bj):
+            docs, contrib = self._block(i)
+            s = int(np.searchsorted(docs, lo, side="left"))
+            e = int(np.searchsorted(docs, hi, side="left"))
+            if e > s:
+                out_d.append(docs[s:e])
+                out_c.append(contrib[s:e])
+        return out_d, out_c
 
 
 def wand_topk_kernel(
@@ -70,47 +146,52 @@ def wand_topk_kernel(
     k: int,
     idfs: list[float] | None = None,
     ub_scale: float = 1.0,
+    doc_lo: int | None = None,
+    doc_hi: int | None = None,
+    stats_out: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned top-k. Returns (doc_ids, scores) sorted by
-    (score desc, doc_id asc); len ≤ k. idfs defaults to per-row Lucene idf
-    from (n_docs, row df) — pass explicit values for multi-generation
-    indexes where df is global."""
+    (score desc, doc_id asc); len may exceed k only by docs TYING the k-th
+    score (docIDs are only key-ordered within a build partition, so boundary
+    ties must be resolved by the caller against the real (conv_id, turn_idx)
+    keys — the ENTIRE tie group is kept, never truncated). idfs defaults to
+    per-row Lucene idf from (n_docs, row df) — pass explicit values for
+    multi-generation/sharded indexes where df is global. doc_lo/doc_hi
+    restrict scoring to an exact docID range (WAND sharding)."""
     if not term_rows or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
     if idfs is None:
         idfs = [idf_value(n_docs, int(r["df"])) for r in term_rows]
 
     terms = [
-        _decode_term(r, avgdl, k1, b, i, ub_scale)
+        _TermBlocks(r, avgdl, k1, b, i, ub_scale)
         for r, i in zip(term_rows, idfs)
     ]
 
     # elementary intervals from the union of block boundaries
     points = np.unique(
         np.concatenate(
-            [t[2] for t in terms] + [t[3] + 1 for t in terms]
+            [t.firsts for t in terms] + [t.ends + 1 for t in terms]
         )
     )
+    if doc_lo is not None or doc_hi is not None:
+        lo = doc_lo if doc_lo is not None else int(points[0])
+        hi = doc_hi if doc_hi is not None else int(points[-1])
+        points = points[(points > lo) & (points < hi)]
+        points = np.concatenate(([lo], points, [hi]))
     n_iv = points.size - 1
-    if n_iv <= 0:
-        # single boundary point can only happen with empty lists
-        n_iv = 0
     total_ub = np.zeros(max(n_iv, 0), dtype=np.float64)
-    for doc_ids, contrib, firsts, ends, ubs in terms:
-        # block index covering each interval start
-        ix = np.searchsorted(firsts, points[:-1], side="right") - 1
-        valid = (ix >= 0) & (points[:-1] <= ends[np.clip(ix, 0, len(ends) - 1)])
-        total_ub += np.where(valid, ubs[np.clip(ix, 0, len(ubs) - 1)], 0.0)
+    for t in terms:
+        ix = np.searchsorted(t.firsts, points[:-1], side="right") - 1
+        valid = (ix >= 0) & (
+            points[:-1] <= t.ends[np.clip(ix, 0, t.ends.size - 1)]
+        )
+        total_ub += np.where(valid, t.ubs[np.clip(ix, 0, t.ubs.size - 1)], 0.0)
 
     order = np.argsort(-total_ub, kind="stable")
 
     # bounded top-k state, kept sorted by (score desc, doc_id asc); a doc
-    # belongs to exactly one elementary interval, so merges never duplicate.
-    # Docs TYING the k-th score are kept (capped): docIDs are only key-ordered
-    # within a partition, so boundary ties must be resolved by the caller
-    # against the real (conv_id, turn_idx) keys — dropping a tied doc here
-    # could drop the one with the smallest key.
-    max_keep = max(4 * k, k + 1024)
+    # belongs to exactly one elementary interval, so merges never duplicate
     top_d = np.zeros(0, dtype=np.int64)
     top_s = np.zeros(0, dtype=np.float64)
     theta = -np.inf
@@ -118,15 +199,13 @@ def wand_topk_kernel(
     for iv in order:
         if top_d.size >= k and total_ub[iv] < theta - _EPS:
             break
-        lo, hi = points[iv], points[iv + 1]
-        cand_docs = []
-        cand_scores = []
-        for doc_ids, contrib, _, _, _ in terms:
-            s = np.searchsorted(doc_ids, lo, side="left")
-            e = np.searchsorted(doc_ids, hi, side="left")
-            if e > s:
-                cand_docs.append(doc_ids[s:e])
-                cand_scores.append(contrib[s:e])
+        lo_iv, hi_iv = int(points[iv]), int(points[iv + 1])
+        cand_docs: list = []
+        cand_scores: list = []
+        for t in terms:
+            ds, cs = t.candidates(lo_iv, hi_iv)
+            cand_docs.extend(ds)
+            cand_scores.extend(cs)
         if not cand_docs:
             continue
         docs = np.concatenate(cand_docs)
@@ -140,91 +219,123 @@ def wand_topk_kernel(
         if sel.size > k:
             s_sorted = all_s[sel]
             kth = s_sorted[k - 1]
+            # keep every doc tying the k-th score (never truncate the tie
+            # group: the caller's key-based tie-break must see all of them)
             cutoff = int(np.searchsorted(-s_sorted, -kth, side="right"))
-            sel = sel[: min(max(k, cutoff), max_keep)]
+            sel = sel[:cutoff]
         top_d, top_s = all_d[sel], all_s[sel]
         if top_d.size >= k:
             theta = top_s[k - 1]
 
+    if stats_out is not None:
+        stats_out["blocks_total"] = int(sum(t.counts.size for t in terms))
+        stats_out["blocks_decoded"] = int(sum(t.blocks_decoded for t in terms))
     return top_d, top_s
 
 
-def bm25_topk_indexed(reader: IndexReader, query_text: str, k: int = 10) -> DataFrame:
-    """Single-query top-k via the compressed index; returns
-    (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
+_SHARDED_SCHEMA = (
+    "query_id string, gen int, shard int, k int, term string, gdf long, "
+    "df long, last_doc long, doc_blob binary, tf_blob binary, dl_blob binary, "
+    "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
+    "block_doc_bytes array<int>, block_tf_bytes array<int>, block_dl_bytes array<int>, "
+    "range_lo long, range_hi long"
+)
 
-    Multi-generation: each generation runs its own WAND with GLOBAL stats
-    (N, avgdl, df summed over generations — scores are exact global BM25).
-    The kernel keeps every doc tying the k-th score, and the final ranking
-    here resolves all ties by the real (conv_id, turn_idx) keys, so the
-    result is rank-identical to the oracle regardless of docID assignment
-    order (docIDs are only key-ordered within a build partition).
-    """
-    spark = reader.spark
-    k1, b = reader.meta.k1, reader.meta.b
-    terms = query_terms(query_text)
-    empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
-    if not terms or k <= 0:
-        return empty
 
-    gen_rows = [
-        g.segments.filter(F.col("term").isin(terms)).collect()
-        for g in reader.generations
-    ]
-    n_docs, avgdl = reader.n_docs, reader.avgdl
-    global_df: dict[str, int] = {}
-    for rows in gen_rows:
-        for r in rows:
-            global_df[r["term"]] = global_df.get(r["term"], 0) + int(r["df"])
-    if not global_df:
-        return empty
+def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
+    """mapInPandas splitter: one (query, term, gen) segment row → one sub-row
+    per docID-range shard it overlaps, with posting blobs BYTE-SLICED to the
+    overlapping block range (per-block byte lengths make slicing pure
+    arithmetic — no decode). Shards partition the docID space exactly; a
+    block straddling a boundary is sent to both sides and the kernel clips to
+    [range_lo, range_hi), so every doc is scored in exactly one shard with
+    all its terms present."""
 
-    cands = []
-    for g, rows in zip(reader.generations, gen_rows):
-        if not rows:
-            continue
-        idfs = [idf_value(n_docs, global_df[r["term"]]) for r in rows]
-        ub_scale = max(1.0, avgdl / g.meta.avgdl) if g.meta.avgdl else 1.0
-        doc_ids, scores = wand_topk_kernel(
-            rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale
-        )
-        if doc_ids.size == 0:
-            continue
-        # doc_id IN (...) pushes to the docstore parquet scan (docIDs sorted
-        # within each seg_id dir → row-group min/max pruning): ~k row groups
-        # read, not the corpus.
-        keys = (
-            g.docstore.filter(F.col("doc_id").isin(doc_ids.tolist()))
-            .select("doc_id", "conv_id", "turn_idx")
-            .toPandas()
-            .set_index("doc_id")
-        )
-        cands.append(
-            pd.DataFrame(
-                {
-                    "conv_id": keys.loc[doc_ids, "conv_id"].to_numpy(),
-                    "turn_idx": keys.loc[doc_ids, "turn_idx"].to_numpy(),
-                    "score": scores,
+    def split(batches):
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in [
+                "query_id", "gen", "shard", "k", "term", "gdf", "df",
+                "last_doc", "doc_blob", "tf_blob", "dl_blob", "block_counts",
+                "block_firsts", "block_maxes", "block_doc_bytes",
+                "block_tf_bytes", "block_dl_bytes", "range_lo", "range_hi",
+            ]}
+            # loop over SEGMENT rows (per-term metadata — bounded by query
+            # terms × generations, not by postings); all per-posting work
+            # inside is numpy slicing on flat buffers
+            for ri in range(len(pdf)):
+                row = pdf.iloc[ri]
+                gen = int(row["gen"])
+                n_docs_g = gen_ndocs.get(gen, 0)
+                n_shards = max((n_docs_g + shard_docs - 1) // shard_docs, 1)
+                firsts = np.asarray(row["block_firsts"], dtype=np.int64)
+                counts = np.asarray(row["block_counts"], dtype=np.int64)
+                nb = firsts.size
+                ends = np.empty(nb, dtype=np.int64)
+                if nb:
+                    ends[:-1] = firsts[1:] - 1
+                    ends[-1] = int(row["last_doc"])
+                offs = {}
+                for col in ("block_doc_bytes", "block_tf_bytes", "block_dl_bytes"):
+                    ln = np.asarray(row[col], dtype=np.int64)
+                    o = np.empty(ln.size + 1, dtype=np.int64)
+                    o[0] = 0
+                    np.cumsum(ln, out=o[1:])
+                    offs[col] = o
+                blobs = {
+                    "doc_blob": bytes(row["doc_blob"]),
+                    "tf_blob": bytes(row["tf_blob"]),
+                    "dl_blob": bytes(row["dl_blob"]),
                 }
-            )
-        )
-    if not cands:
-        return empty
-    out = pd.concat(cands, ignore_index=True)
-    out = out.sort_values(
-        ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
-    ).head(k)
-    return spark.createDataFrame(out, schema="conv_id string, turn_idx int, score double")
+                maxes = np.asarray(row["block_maxes"], dtype=np.float64)
+                for s in range(n_shards):
+                    lo = s * shard_docs
+                    hi = min((s + 1) * shard_docs, n_docs_g) if n_shards > 1 else n_docs_g
+                    bi = int(np.searchsorted(ends, lo, side="left"))
+                    bj = int(np.searchsorted(firsts, hi, side="left"))
+                    if bj <= bi:
+                        continue
+                    out["query_id"].append(row["query_id"])
+                    out["gen"].append(gen)
+                    out["shard"].append(s)
+                    out["k"].append(int(row["k"]))
+                    out["term"].append(row["term"])
+                    out["gdf"].append(int(row["gdf"]))
+                    out["df"].append(int(row["df"]))
+                    out["last_doc"].append(int(ends[bj - 1]))
+                    for col, bo in (("doc_blob", "block_doc_bytes"),
+                                    ("tf_blob", "block_tf_bytes"),
+                                    ("dl_blob", "block_dl_bytes")):
+                        o = offs[bo]
+                        out[col].append(blobs[col][o[bi]:o[bj]])
+                        out[bo].append(
+                            (o[bi + 1:bj + 1] - o[bi:bj]).astype(np.int32)
+                        )
+                    out["block_counts"].append(counts[bi:bj].astype(np.int32))
+                    out["block_firsts"].append(firsts[bi:bj])
+                    out["block_maxes"].append(maxes[bi:bj])
+                    out["range_lo"].append(lo)
+                    out["range_hi"].append(hi)
+            if out["query_id"]:
+                yield pd.DataFrame(out)
+
+    return split
 
 
-def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> DataFrame:
-    """Distributed batch query path: [(query_id, query_text, k)] → one WAND
-    task per query via groupBy(query_id).applyInPandas.
+def bm25_topk_many(
+    reader: IndexReader,
+    queries: list[tuple[str, str, int]],
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> DataFrame:
+    """Distributed batch query path: [(query_id, query_text, k)] → doc-range
+    sharded block-max WAND, one task per (query, generation, shard).
 
     Scale shape: the query table is tiny and broadcast into a join against
-    the term-sorted segment table (at cluster scale this is a broadcast-hash
-    join whose probe side is pruned by term min/max); the shuffle that feeds
-    applyInPandas carries only matching blobs.
+    the term-sorted segment table (broadcast-hash join whose probe side is
+    pruned by term min/max); the shard splitter byte-slices each matching
+    blob so the shuffle into applyInPandas carries each posting byte exactly
+    once (± boundary blocks) and NO task ever holds a hot term's full list.
+    Per-shard top-k with global (N, avgdl, df) is exact, so the final rank
+    window is a pure k-way merge. No posting blob ever reaches the driver.
     """
     from functools import reduce
 
@@ -234,6 +345,7 @@ def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> 
     k1, b = reader.meta.k1, reader.meta.b
     n_docs, avgdl = reader.n_docs, reader.avgdl
     gen_avgdl = {g.gen_id: g.meta.avgdl for g in reader.generations}
+    gen_ndocs = {g.gen_id: g.meta.n_docs for g in reader.generations}
 
     qrows = []
     for qid, text, k in queries:
@@ -247,39 +359,46 @@ def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> 
     qdf = spark.createDataFrame(qrows, "query_id string, term string, k int")
     seg_union = reduce(
         DataFrame.unionByName,
-        [g.segments.withColumn("gen", F.lit(g.gen_id)) for g in reader.generations],
+        [
+            g.segments.drop("pos_blob").withColumn("gen", F.lit(g.gen_id))
+            for g in reader.generations
+        ],
     )
     joined = seg_union.join(F.broadcast(qdf), on="term")
+    # global df per (query, term) = sum over generations — aggregated on the
+    # pruned columns only and broadcast back (blobs shuffle exactly once,
+    # into the shard split)
+    gdf = joined.groupBy("query_id", "term").agg(F.sum("df").alias("gdf"))
+    joined = joined.join(F.broadcast(gdf), on=["query_id", "term"])
 
-    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    sharded = joined.mapInPandas(
+        _make_shard_splitter(gen_ndocs, shard_docs), schema=_SHARDED_SCHEMA
+    )
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
-        # global df per term = sum over generations (a term appears at most
-        # once per generation)
-        gdf = pdf.groupby("term")["df"].sum().to_dict()
-        outs = []
-        for gen_id, sub in pdf.groupby("gen"):
-            rows = [sub.iloc[i] for i in range(len(sub))]
-            idfs = [idf_value(n_docs, int(gdf[r["term"]])) for r in rows]
-            ga = gen_avgdl.get(int(gen_id), avgdl)
-            ub_scale = max(1.0, avgdl / ga) if ga else 1.0
-            doc_ids, scores = wand_topk_kernel(
-                rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale
-            )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"].iloc[0],
-                        "gen": int(gen_id),
-                        "doc_id": doc_ids,
-                        "score": scores,
-                        "k": k,
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+        gen_id = int(pdf["gen"].iloc[0])
+        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        idfs = [idf_value(n_docs, int(r["gdf"])) for r in rows]
+        ga = gen_avgdl.get(gen_id, avgdl)
+        ub_scale = max(1.0, avgdl / ga) if ga else 1.0
+        doc_ids, scores = wand_topk_kernel(
+            rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale,
+            doc_lo=int(pdf["range_lo"].iloc[0]),
+            doc_hi=int(pdf["range_hi"].iloc[0]),
+        )
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "gen": gen_id,
+                "doc_id": doc_ids,
+                "score": scores,
+                "k": k,
+            }
+        )
 
-    hits = joined.groupBy("query_id").applyInPandas(
-        score_group,
+    hits = sharded.groupBy("query_id", "gen", "shard").applyInPandas(
+        score_shard,
         schema="query_id string, gen int, doc_id long, score double, k int",
     )
     ds_union = reduce(
@@ -300,3 +419,24 @@ def bm25_topk_many(reader: IndexReader, queries: list[tuple[str, str, int]]) -> 
         .filter(F.col("rank") < F.col("k"))
         .select("query_id", "conv_id", "turn_idx", "score", "rank")
     )
+
+
+def bm25_topk_indexed(
+    reader: IndexReader,
+    query_text: str,
+    k: int = 10,
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> DataFrame:
+    """Single-query top-k via the compressed index; returns
+    (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
+
+    Thin wrapper over the distributed sharded path (bm25_topk_many) — the
+    scoring kernel runs in executor tasks against byte-sliced blobs; the
+    driver only ever sees the ≤k result rows. Multi-generation stats
+    (N, avgdl, df) are global, so scores are exact global BM25 and the final
+    ranking resolves all ties by the real (conv_id, turn_idx) keys
+    (rank-identical to the oracle regardless of docID assignment order).
+    """
+    return bm25_topk_many(reader, [("q", query_text, k)], shard_docs=shard_docs).select(
+        "conv_id", "turn_idx", "score"
+    ).orderBy(F.col("score").desc(), "conv_id", "turn_idx")

@@ -76,9 +76,24 @@ def _digest_rng(payload: bytes) -> np.random.Generator:
 
 
 def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Real PIL decode when the library is importable AND the payload is a
+    valid image; deterministic fake otherwise (ImportError → silent fallback,
+    undecodable payload → warned fallback). Never raises on a present lib."""
     try:
-        import PIL.Image  # noqa: F401 — real decoder when available
-        raise NotImplementedError("real PIL decode path not wired in this container")
+        import io
+
+        import PIL.Image
+
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("RGB" if int(channels) == 3 else "L"))
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            return arr
+        except Exception:
+            import warnings
+
+            warnings.warn("payload not decodable by PIL; using deterministic fake")
     except ImportError:
         pass
     # deterministic fake: shape from metadata, values from payload digest.
@@ -90,9 +105,20 @@ def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.
 
 
 def _decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
+    """Real soundfile decode when available and payload is a valid audio
+    container; deterministic fake otherwise (same contract as _decode_image)."""
     try:
-        import soundfile  # noqa: F401
-        raise NotImplementedError("real soundfile decode path not wired in this container")
+        import io
+
+        import soundfile
+
+        try:
+            data, _sr = soundfile.read(io.BytesIO(payload), dtype="float32")
+            return data if data.ndim == 1 else data.mean(axis=1).astype(np.float32)
+        except Exception:
+            import warnings
+
+            warnings.warn("payload not decodable by soundfile; using deterministic fake")
     except ImportError:
         pass
     n = max(int(int(sample_rate) * int(duration_ms) / 1000), 1)

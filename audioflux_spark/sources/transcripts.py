@@ -57,7 +57,9 @@ def documents_as_transcripts(
     if where:
         docs = docs.filter(where)
     return docs.select(
-        F.format_string("doc-%08d", F.col("doc_id")).alias("conv_id"),
+        # %012d: string order == numeric order up to 10^12 docs (the design
+        # scale), so conv_id tie-breaks stay consistent with doc_id order
+        F.format_string("doc-%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.col("text"),
