@@ -863,6 +863,77 @@ def q_events_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", _e6(med).alias("med5_e6")).orderBy("event_id")
 
 
+def q_doc_tf_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distribution-shape reductions over the tf axis — the
+    reference's flatness (geo/arith mean ratio, spectral_algorithm.c:427),
+    crest (max/mean, :475), decrease (:520: Σ_{k≥2}(w_k−w_1)/(k−1) / Σ_{k≥2}w_k,
+    k = term rank) and hfc (:741: Σ k·w_k) with frequency rank → alphabetical
+    term rank within the doc."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    wk = Window.partitionBy("doc_id").orderBy("term")
+    ranked = tf.withColumn("k", F.row_number().over(wk)).withColumn(
+        "w1", F.first("w").over(wk)
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.exp(F.avg(F.log("w"))).alias("geo"),
+        F.avg("w").alias("arith"),
+        F.max("w").alias("mx"),
+        F.sum(F.col("k") * F.col("w")).alias("hfc"),
+        F.sum(
+            F.when(F.col("k") >= 2, (F.col("w") - F.col("w1")) / (F.col("k") - 1))
+        ).alias("dec_num"),
+        F.sum(F.when(F.col("k") >= 2, F.col("w"))).alias("dec_den"),
+    )
+    return agg.select(
+        "doc_id",
+        _e6(F.col("geo") / F.col("arith")).alias("flatness_e6"),
+        _e6(F.col("mx") / F.col("arith")).alias("crest_e6"),
+        _e6(F.col("hfc")).alias("hfc_e6"),
+        _e6(
+            F.coalesce(F.col("dec_num") / F.col("dec_den"), F.lit(0.0))
+        ).alias("decrease_e6"),
+    ).orderBy("doc_id")
+
+
+def q_events_mkl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modified-KL novelty — the reference's MKL onset feature
+    (spectral_algorithm.c mkl: Σ log(1 + |s_t| / max(|s_{t-1}|, ε)))."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.withColumn("prev", F.lag("value").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    term = F.log(
+        F.lit(1.0) + F.abs("value") / F.greatest(F.abs("prev"), F.lit(1e-9))
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(_e6(F.sum(term)).alias("mkl_e6"), F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id")
+    )
+
+
+def q_events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Shannon entropy of the hourly activity distribution —
+    the reference's energy-entropy features (eef/eer: entropy over sub-window
+    energies) with sub-window → hour bucket."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    hourly = ev.groupBy(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    per_type = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("L"), F.sum(F.col("n") * F.log("n")).alias("nlogn")
+    )
+    return per_type.select(
+        "event_type",
+        _e6(F.log("L") - F.col("nlogn") / F.col("L")).alias("entropy_e6"),
+    ).orderBy("event_type")
+
+
 def q_doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc max/argmax over the term axis — the reference's per-frame
     max + argmax-frequency (spectral_algorithm.c:855)."""
@@ -1161,7 +1232,7 @@ SELECT user_id, count(*) AS n FROM events
 GROUP BY user_id ORDER BY n DESC, user_id LIMIT 20
 """,
         "events_sessionize": """
-WITH e AS (SELECT user_id, event_id, epoch(ts)::BIGINT AS t FROM events),
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t FROM events),
 g AS (
   SELECT user_id,
          CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
@@ -1174,7 +1245,7 @@ FROM g GROUP BY user_id ORDER BY user_id
 """,
         "events_xcorr": """
 WITH hourly AS (
-  SELECT event_type, epoch(ts)::BIGINT // 3600 AS h, sum(value) AS v
+  SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h, sum(value) AS v
   FROM events GROUP BY event_type, h
 ),
 a AS (SELECT h, v AS va FROM hourly WHERE event_type = 'click'),
@@ -1186,7 +1257,7 @@ FROM a CROSS JOIN lags JOIN b ON a.h + lag = b.h
 GROUP BY lag ORDER BY lag
 """,
         "events_delta_regression": """
-WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events),
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
 win AS (
   SELECT event_id,
          (-2.0 * coalesce(lag(value, 2)  OVER w, 0)
@@ -1210,14 +1281,14 @@ SELECT event_id, event_type,
 FROM events ORDER BY event_id
 """,
         "events_sliding_max": """
-WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events)
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events)
 SELECT event_id,
        CAST(ROUND(max(value) OVER (PARTITION BY user_id ORDER BY t, event_id
             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS max5_e6
 FROM e ORDER BY event_id
 """,
         "events_delta_stats": """
-WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events),
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
 d AS (
   SELECT user_id,
          value - lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS delta
@@ -1299,8 +1370,53 @@ SELECT doc_id,
             ELSE 0 END) * 1000000) AS BIGINT) AS kurt_e6
 FROM cm ORDER BY doc_id
 """,
+        "doc_tf_shape": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) AS k,
+         first_value(w) OVER (PARTITION BY doc_id ORDER BY term) AS w1
+  FROM tf
+),
+agg AS (
+  SELECT doc_id,
+         exp(avg(ln(w))) AS geo, avg(w) AS arith, max(w) AS mx,
+         sum(k * w) AS hfc,
+         sum(CASE WHEN k >= 2 THEN (w - w1) / (k - 1) END) AS dec_num,
+         sum(CASE WHEN k >= 2 THEN w END) AS dec_den
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(ROUND(geo / arith * 1000000) AS BIGINT) AS flatness_e6,
+       CAST(ROUND(mx / arith * 1000000) AS BIGINT) AS crest_e6,
+       CAST(ROUND(hfc * 1000000) AS BIGINT) AS hfc_e6,
+       CAST(ROUND(coalesce(dec_num / dec_den, 0) * 1000000) AS BIGINT) AS decrease_e6
+FROM agg ORDER BY doc_id
+""",
+        "events_mkl": """
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
+d AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev
+  FROM e
+)
+SELECT user_id,
+       CAST(ROUND(sum(ln(1.0 + abs(value) / greatest(abs(prev), 1e-9))) * 1000000) AS BIGINT) AS mkl_e6,
+       count(*) AS n
+FROM d WHERE prev IS NOT NULL GROUP BY user_id ORDER BY user_id
+""",
+        "events_hourly_entropy": """
+WITH hourly AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h, count(*)::DOUBLE AS n
+  FROM events GROUP BY event_type, h
+),
+per_type AS (SELECT event_type, sum(n) AS L, sum(n * ln(n)) AS nlogn FROM hourly GROUP BY event_type)
+SELECT event_type, CAST(ROUND((ln(L) - nlogn / L) * 1000000) AS BIGINT) AS entropy_e6
+FROM per_type ORDER BY event_type
+""",
         "events_sliding_median": """
-WITH e AS (SELECT user_id, event_id, value, epoch(ts)::BIGINT AS t FROM events)
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events)
 SELECT event_id,
        CAST(ROUND(quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY t, event_id
             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) * 1000000) AS BIGINT) AS med5_e6
@@ -1356,7 +1472,10 @@ def queries():
         "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,
         "doc_tf_moments": q_doc_tf_moments,
+        "doc_tf_shape": q_doc_tf_shape,
         "events_sliding_median": q_events_sliding_median,
+        "events_mkl": q_events_mkl,
+        "events_hourly_entropy": q_events_hourly_entropy,
     }
 
 

@@ -321,25 +321,16 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
     return split
 
 
-def bm25_topk_many(
+def _sharded_hits(
     reader: IndexReader,
     queries: list[tuple[str, str, int]],
-    shard_docs: int = DEFAULT_SHARD_DOCS,
-) -> DataFrame:
-    """Distributed batch query path: [(query_id, query_text, k)] → doc-range
-    sharded block-max WAND, one task per (query, generation, shard).
-
-    Scale shape: the query table is tiny and broadcast into a join against
-    the term-sorted segment table (broadcast-hash join whose probe side is
-    pruned by term min/max); the shard splitter byte-slices each matching
-    blob so the shuffle into applyInPandas carries each posting byte exactly
-    once (± boundary blocks) and NO task ever holds a hot term's full list.
-    Per-shard top-k with global (N, avgdl, df) is exact, so the final rank
-    window is a pure k-way merge. No posting blob ever reaches the driver.
-    """
+    shard_docs: int,
+) -> DataFrame | None:
+    """Scored candidates per (query, generation, shard):
+    (query_id, gen, doc_id, score, k) with exact global BM25 scores and whole
+    tie groups kept. All scoring runs in executor tasks; no posting blob ever
+    reaches the driver."""
     from functools import reduce
-
-    from pyspark.sql.window import Window
 
     spark = reader.spark
     k1, b = reader.meta.k1, reader.meta.b
@@ -351,29 +342,57 @@ def bm25_topk_many(
     for qid, text, k in queries:
         for t in query_terms(text):
             qrows.append((qid, t, k))
-    empty = spark.createDataFrame(
-        [], "query_id string, conv_id string, turn_idx int, score double, rank int"
-    )
     if not qrows:
-        return empty
-    qdf = spark.createDataFrame(qrows, "query_id string, term string, k int")
+        return None
+    # literal `term IN (...)` BEFORE any join: the query terms are known on
+    # the driver, and the predicate prunes term-sorted parquet files / row
+    # groups (or the cached table) without touching blob columns — a join
+    # alone would probe every segment row
+    terms_all = sorted({t for _, t, _ in qrows})
     seg_union = reduce(
         DataFrame.unionByName,
         [
-            g.segments.drop("pos_blob").withColumn("gen", F.lit(g.gen_id))
+            g.segments.drop("pos_blob")
+            .filter(F.col("term").isin(terms_all))
+            .withColumn("gen", F.lit(g.gen_id))
             for g in reader.generations
         ],
     )
-    joined = seg_union.join(F.broadcast(qdf), on="term")
-    # global df per (query, term) = sum over generations — aggregated on the
-    # pruned columns only and broadcast back (blobs shuffle exactly once,
-    # into the shard split)
-    gdf = joined.groupBy("query_id", "term").agg(F.sum("df").alias("gdf"))
-    joined = joined.join(F.broadcast(gdf), on=["query_id", "term"])
+    if len(queries) == 1:
+        # single query: query_id/k become literal columns — no query-table
+        # createDataFrame, no broadcast-exchange job (serving latency path)
+        qid, _text, k0 = queries[0]
+        joined = seg_union.withColumn("query_id", F.lit(qid)).withColumn(
+            "k", F.lit(int(k0))
+        )
+    else:
+        qdf = spark.createDataFrame(qrows, "query_id string, term string, k int")
+        joined = seg_union.join(F.broadcast(qdf), on="term")
+    if len(reader.generations) == 1:
+        # a term appears at most once per generation → df IS the global df
+        joined = joined.withColumn("gdf", F.col("df"))
+    else:
+        # global df per (query, term) = sum over generations — aggregated on
+        # the pruned columns only and broadcast back (blobs shuffle exactly
+        # once, into the shard split)
+        gdf = joined.groupBy("query_id", "term").agg(F.sum("df").alias("gdf"))
+        joined = joined.join(F.broadcast(gdf), on=["query_id", "term"])
 
-    sharded = joined.mapInPandas(
-        _make_shard_splitter(gen_ndocs, shard_docs), schema=_SHARDED_SCHEMA
-    )
+    single_shard = all(n <= shard_docs for n in gen_ndocs.values())
+    if single_shard:
+        # one shard per generation — skip the splitter's Python exchange
+        range_hi = F.col("gen")
+        for gid, n in gen_ndocs.items():
+            range_hi = F.when(F.col("gen") == gid, F.lit(n)).otherwise(range_hi)
+        sharded = (
+            joined.withColumn("shard", F.lit(0))
+            .withColumn("range_lo", F.lit(0).cast("long"))
+            .withColumn("range_hi", range_hi.cast("long"))
+        )
+    else:
+        sharded = joined.mapInPandas(
+            _make_shard_splitter(gen_ndocs, shard_docs), schema=_SHARDED_SCHEMA
+        )
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
@@ -397,10 +416,50 @@ def bm25_topk_many(
             }
         )
 
-    hits = sharded.groupBy("query_id", "gen", "shard").applyInPandas(
-        score_shard,
-        schema="query_id string, gen int, doc_id long, score double, k int",
+    out_schema = "query_id string, gen int, doc_id long, score double, k int"
+    if single_shard and len(queries) == 1 and len(reader.generations) == 1:
+        # exactly one score group → coalesce(1) + mapInPandas scores it in a
+        # single NARROW task: no shuffle, no AQE stage, one Spark job — the
+        # serving-latency shape for interactive single queries
+        def score_one(batches):
+            frames = [p for p in batches if len(p)]
+            if frames:
+                yield score_shard(pd.concat(frames, ignore_index=True))
+
+        return sharded.coalesce(1).mapInPandas(score_one, schema=out_schema)
+
+    return sharded.groupBy("query_id", "gen", "shard").applyInPandas(
+        score_shard, schema=out_schema
     )
+
+
+def bm25_topk_many(
+    reader: IndexReader,
+    queries: list[tuple[str, str, int]],
+    shard_docs: int = DEFAULT_SHARD_DOCS,
+) -> DataFrame:
+    """Distributed batch query path: [(query_id, query_text, k)] → doc-range
+    sharded block-max WAND, one task per (query, generation, shard).
+
+    Scale shape: the query table is tiny and broadcast into a join against
+    the term-sorted segment table (broadcast-hash join whose probe side is
+    pruned by term min/max); the shard splitter byte-slices each matching
+    blob so the shuffle into applyInPandas carries each posting byte exactly
+    once (± boundary blocks) and NO task ever holds a hot term's full list.
+    Per-shard top-k with global (N, avgdl, df) is exact, so the final rank
+    window is a pure k-way merge. No posting blob ever reaches the driver.
+    """
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    spark = reader.spark
+    empty = spark.createDataFrame(
+        [], "query_id string, conv_id string, turn_idx int, score double, rank int"
+    )
+    hits = _sharded_hits(reader, queries, shard_docs)
+    if hits is None:
+        return empty
     ds_union = reduce(
         DataFrame.unionByName,
         [
@@ -430,13 +489,81 @@ def bm25_topk_indexed(
     """Single-query top-k via the compressed index; returns
     (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
 
-    Thin wrapper over the distributed sharded path (bm25_topk_many) — the
-    scoring kernel runs in executor tasks against byte-sliced blobs; the
-    driver only ever sees the ≤k result rows. Multi-generation stats
-    (N, avgdl, df) are global, so scores are exact global BM25 and the final
-    ranking resolves all ties by the real (conv_id, turn_idx) keys
-    (rank-identical to the oracle regardless of docID assignment order).
-    """
-    return bm25_topk_many(reader, [("q", query_text, k)], shard_docs=shard_docs).select(
-        "conv_id", "turn_idx", "score"
-    ).orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+    Serving-latency shape: the scoring kernel runs in executor tasks against
+    byte-sliced blobs (same path as bm25_topk_many); the driver collects only
+    the ≤k+ties RESULT rows (gen, doc_id, score) — never posting blobs — and
+    resolves them against the docstore with a doc_id IN (...) filter, which
+    hits parquet row-group min/max (docIDs are sorted within partitions), so
+    the key lookup reads ~k row groups instead of joining the corpus.
+    Multi-generation stats (N, avgdl, df) are global, so scores are exact
+    global BM25; ties resolve by the real (conv_id, turn_idx) keys
+    (rank-identical to the oracle regardless of docID assignment order)."""
+    spark = reader.spark
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+    hits = _sharded_hits(reader, [("q", query_text, k)], shard_docs)
+    if hits is None or k <= 0:
+        return empty
+    hit_rows = hits.select("gen", "doc_id", "score").collect()  # ≤ k + ties per shard
+    if not hit_rows:
+        return empty
+    if len(hit_rows) > 512:
+        # massive tie group (Zipf-head term where thousands of docs share the
+        # k-th score): a literal IN (...) of that size costs more in plan
+        # analysis than it saves — resolve keys with a distributed join +
+        # rank window instead (the collected rows become the tiny build side)
+        from functools import reduce
+
+        from pyspark.sql.window import Window
+
+        hits_df = spark.createDataFrame(
+            [(int(r["gen"]), int(r["doc_id"]), float(r["score"])) for r in hit_rows],
+            "gen int, doc_id long, score double",
+        )
+        ds_union = reduce(
+            DataFrame.unionByName,
+            [
+                g.docstore.select(
+                    F.lit(g.gen_id).alias("gen"), "doc_id", "conv_id", "turn_idx"
+                )
+                for g in reader.generations
+            ],
+        )
+        w = Window.orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+        return (
+            hits_df.join(ds_union, on=["gen", "doc_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("conv_id", "turn_idx", "score")
+            .orderBy(F.col("score").desc(), "conv_id", "turn_idx")
+        )
+    by_gen: dict[int, list] = {}
+    for r in hit_rows:
+        by_gen.setdefault(int(r["gen"]), []).append(r)
+    cands = []
+    for g in reader.generations:
+        rows = by_gen.get(g.gen_id)
+        if not rows:
+            continue
+        ids = [int(r["doc_id"]) for r in rows]
+        keys = (
+            g.docstore.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "conv_id", "turn_idx")
+            .toPandas()
+            .set_index("doc_id")
+        )
+        cands.append(
+            pd.DataFrame(
+                {
+                    "conv_id": keys.loc[ids, "conv_id"].to_numpy(),
+                    "turn_idx": keys.loc[ids, "turn_idx"].to_numpy(),
+                    "score": [float(r["score"]) for r in rows],
+                }
+            )
+        )
+    out = pd.concat(cands, ignore_index=True)
+    out = out.sort_values(
+        ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
+    ).head(k)
+    return spark.createDataFrame(
+        out, schema="conv_id string, turn_idx int, score double"
+    )
