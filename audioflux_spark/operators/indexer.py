@@ -72,6 +72,11 @@ class IndexMeta:
     n_partitions: int
     offsets: list[int]
     total_tokens: int = 0  # exact Σ doc_len (for exact cross-generation avgdl)
+    # smallest avgdl any surviving partial was ENCODED with: a resumed partial
+    # rebuild can shift the corpus avgdl upward, and stored block maxes from
+    # the earlier encode would then under-bound scores — readers widen bounds
+    # by avgdl/encode_avgdl (tf-norm is monotone in avgdl, bounded by ratio)
+    encode_avgdl: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -81,6 +86,8 @@ class IndexMeta:
         d = json.loads(s)
         if not d.get("total_tokens"):
             d["total_tokens"] = round(d["avgdl"] * d["n_docs"])
+        if not d.get("encode_avgdl"):
+            d["encode_avgdl"] = d["avgdl"]
         return IndexMeta(**d)
 
 
@@ -117,23 +124,23 @@ def _partitioned_base(transcripts: DataFrame, n_partitions: int) -> tuple[DataFr
 
 
 def _partition_stats(base_with_pid: DataFrame, cfg: EngineConfig):
-    """ONE pass over the persisted base: per-partition fingerprint (count +
-    order-independent hash) AND corpus token totals — the build's only
-    full-corpus aggregation job."""
+    """ONE cheap pass over the base: per-partition fingerprint (count +
+    order-independent hash). Deliberately NO tokenization here — token totals
+    come for free from the docstore's doc_len column after the write, so the
+    corpus text is regex-scanned exactly twice (docstore + partials), not
+    three times."""
     rows = (
         base_with_pid.groupBy("pid")
         .agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent and overflow-free under ANSI mode
             F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("h"),
-            F.sum(doc_len_col("text", cfg.analyzer).cast("long")).alias("tok"),
         )
         .collect()
     )
     fps = {int(r["pid"]): f"{int(r['n'])}:{int(r['h'])}" for r in rows}
     n_docs = sum(int(r["n"]) for r in rows)
-    total_tokens = sum(int(r["tok"]) for r in rows if r["tok"] is not None)
-    return fps, n_docs, total_tokens
+    return fps, n_docs
 
 
 def _offsets_from_counts(fingerprints: dict[int, str], n_partitions: int) -> list[int]:
@@ -488,9 +495,8 @@ def build_index(
     P = base.rdd.getNumPartitions()
     with_pid = base.withColumn("pid", F.spark_partition_id())
     # one combined pass: fingerprints + corpus stats (no separate scan)
-    fps, n_docs, total_tokens = _partition_stats(with_pid, cfg)
+    fps, n_docs = _partition_stats(with_pid, cfg)
     mark("stats")
-    avgdl = (total_tokens / n_docs) if n_docs else 0.0
     offsets = _offsets_from_counts(fps, P)
 
     manifest = load_manifest(index_dir) if resume else Manifest()
@@ -534,6 +540,18 @@ def build_index(
         ).mode("append").parquet(docstore_dir)
         mark("docstore")
 
+    # corpus token totals from the docstore's doc_len column (columnar scan
+    # of one int column — the text itself is never re-tokenized for stats)
+    if os.path.isdir(docstore_dir):
+        total_tokens = int(
+            spark.read.parquet(docstore_dir).agg(F.sum("doc_len")).first()[0] or 0
+        )
+    else:
+        total_tokens = 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    mark("token_stats")
+
+    if missing:
         with_pid.select("pid", "text").mapInArrow(
             _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
         ).write.partitionBy("seg_id").mode("append").parquet(partial_dir)
@@ -581,8 +599,18 @@ def build_index(
     # ---- merge phase: two-phase salted repartition-by-term ----
     # skip when resuming an untouched, fully-merged index
     if missing or ghosts or not os.path.exists(os.path.join(index_dir, "segments")):
-        merge_segments(spark, index_dir, cfg)
+        merge_segments(spark, index_dir, cfg, n_partials=(max(fps) + 1 if fps else 0))
     mark("merge")
+
+    # partial rebuilds keep blocks encoded under an earlier (possibly smaller)
+    # avgdl — track the smallest so readers can widen bounds safely
+    encode_avgdl = avgdl
+    meta_path = os.path.join(index_dir, "meta.json")
+    if resume and done and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = IndexMeta.from_json(f.read())
+        if old.encode_avgdl:
+            encode_avgdl = min(encode_avgdl, old.encode_avgdl)
 
     meta = IndexMeta(
         n_docs=n_docs,
@@ -593,13 +621,19 @@ def build_index(
         n_partitions=P,
         offsets=offsets,
         total_tokens=total_tokens,
+        encode_avgdl=encode_avgdl,
     )
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         f.write(meta.to_json())
     return meta
 
 
-def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFAULT) -> None:
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    n_partials: int | None = None,
+) -> None:
     partial_dir = os.path.join(index_dir, "segments_partial")
     out_dir = os.path.join(index_dir, "segments")
     if os.path.exists(out_dir):
@@ -607,8 +641,13 @@ def merge_segments(spark: SparkSession, index_dir: str, cfg: EngineConfig = DEFA
 
     partials = spark.read.parquet(partial_dir)
     S = cfg.index.salt_buckets
-    # actual partition count (scan-split partitioning may exceed the config)
-    P = int(partials.agg(F.max("seg_id")).first()[0] or 0) + 1
+    # actual partition count (scan-split partitioning may exceed the config);
+    # callers that know it pass it and save a scan job
+    P = (
+        n_partials
+        if n_partials is not None
+        else int(partials.agg(F.max("seg_id")).first()[0] or 0) + 1
+    )
     Qf = max(cfg.index.build_partitions // 4, 1)
 
     if P <= cfg.index.hot_term_partials * S:

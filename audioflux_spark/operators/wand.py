@@ -335,7 +335,11 @@ def _sharded_hits(
     spark = reader.spark
     k1, b = reader.meta.k1, reader.meta.b
     n_docs, avgdl = reader.n_docs, reader.avgdl
-    gen_avgdl = {g.gen_id: g.meta.avgdl for g in reader.generations}
+    # per-generation ENCODE avgdl (≤ the gen's final avgdl after partial
+    # rebuilds): bounds widen by the ratio so block maxes stay safe
+    gen_avgdl = {
+        g.gen_id: (g.meta.encode_avgdl or g.meta.avgdl) for g in reader.generations
+    }
     gen_ndocs = {g.gen_id: g.meta.n_docs for g in reader.generations}
 
     qrows = []

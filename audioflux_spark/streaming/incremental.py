@@ -109,7 +109,8 @@ def compact_index(
         # block maxes were computed with THIS generation's build avgdl; the
         # compacted reader scores with the combined avgdl. tf-norm is monotone
         # increasing in avgdl, bounded by the ratio — widen so bounds stay safe
-        ub_scale = max(1.0, combined_avgdl / g.meta.avgdl) if g.meta.avgdl else 1.0
+        enc = g.meta.encode_avgdl or g.meta.avgdl
+        ub_scale = max(1.0, combined_avgdl / enc) if enc else 1.0
         if ub_scale > 1.0:
             seg = seg.withColumn(
                 "block_maxes",
@@ -151,6 +152,7 @@ def compact_index(
         n_partitions=sum(g.meta.n_partitions for g in gens),
         offsets=[],  # compacted artifact: per-partition resume no longer applies
         total_tokens=total_tokens,
+        encode_avgdl=combined_avgdl,  # bounds were widened to this at compaction
     )
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         f.write(meta.to_json())
