@@ -27,6 +27,23 @@ class AnalyzerConfig:
     split_pattern: str = "[^a-z0-9_]+"
 
 
+# The analyzer FAMILY — the WindowType-enum analog (reference selects one of
+# 14 window tapers at construction; we select one of several tokenizer
+# contracts). Every member works with tokens_col/doc_len_col/tokenize_series.
+ANALYZERS: dict[str, AnalyzerConfig] = {
+    "standard": AnalyzerConfig(),  # lowercase, [a-z0-9_]+ keep
+    "whitespace": AnalyzerConfig(
+        lowercase=False, token_pattern=r"\S+", split_pattern=r"\s+"
+    ),
+    "lower_whitespace": AnalyzerConfig(
+        lowercase=True, token_pattern=r"\S+", split_pattern=r"\s+"
+    ),
+    "alnum_cased": AnalyzerConfig(
+        lowercase=False, token_pattern="[A-Za-z0-9_]+", split_pattern="[^A-Za-z0-9_]+"
+    ),
+}
+
+
 @dataclass(frozen=True)
 class BM25Config:
     """BM25 scoring constants (Robertson/Zaragoza; Lucene-style idf).

@@ -863,6 +863,90 @@ def q_events_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", _e6(med).alias("med5_e6")).orderBy("event_id")
 
 
+def q_analyzer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats under each member of the analyzer FAMILY — the
+    reference's WindowType enum (14 tapers chosen at construction,
+    /root/reference/src/dsp/flux_window.c:618-860): same corpus, different
+    'window function', one row per analyzer."""
+    from audioflux_spark.config import ANALYZERS
+
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for name in sorted(ANALYZERS):
+        cfg = ANALYZERS[name]
+        tok = docs.select(
+            "doc_id", F.explode(tokens_col("text", cfg)).alias("term")
+        )
+        parts.append(
+            tok.agg(
+                F.lit(name).alias("analyzer"),
+                F.count("term").alias("total_tokens"),
+                F.countDistinct("term").alias("distinct_terms"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("analyzer")
+
+
+def q_ngram_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution n-gram analysis (n = 1..3) — the reference's
+    constant-Q / wavelet transform family analog (CQT/CWT: the SAME signal
+    analyzed at several resolutions, /root/reference/src/cqt_algorithm.c):
+    per resolution, total and distinct shingle counts."""
+    toks = _docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
+    parts = []
+    for n in (1, 2, 3):
+        grams = toks.filter(F.size("toks") >= n).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(n))),
+                )
+            ).alias("gram")
+        )
+        parts.append(
+            grams.agg(
+                F.lit(n).alias("n"),
+                F.count("gram").alias("total"),
+                F.countDistinct("gram").alias("distinct_grams"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("n")
+
+
+def q_events_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (day → hour → 10-min) — the reference's
+    multi-level wavelet decomposition shape (DWT/SWT: one series, a pyramid
+    of scales): per (event_type, level) the number of buckets and the max
+    bucket count."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", _epoch_ntz("ts").alias("t")
+    )
+    parts = []
+    for level, width in (("day", 86400), ("hour", 3600), ("min10", 600)):
+        b = ev.groupBy(
+            "event_type", F.floor(F.col("t") / width).alias("b")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            b.groupBy("event_type").agg(
+                F.lit(level).alias("level"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("n").alias("max_bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("event_type", "level", "n_buckets", "max_bucket").orderBy(
+        "event_type", "level"
+    )
+
+
 def q_doc_tf_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc distribution-shape reductions over the tf axis — the
     reference's flatness (geo/arith mean ratio, spectral_algorithm.c:427),
@@ -1370,6 +1454,52 @@ SELECT doc_id,
             ELSE 0 END) * 1000000) AS BIGINT) AS kurt_e6
 FROM cm ORDER BY doc_id
 """,
+        "analyzer_family": """
+WITH
+a1 AS (SELECT 'alnum_cased' AS analyzer,
+              unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'), x -> x <> '')) AS term
+       FROM documents),
+a2 AS (SELECT 'lower_whitespace' AS analyzer,
+              unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+       FROM documents),
+a3 AS (SELECT 'standard' AS analyzer,
+              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+       FROM documents),
+a4 AS (SELECT 'whitespace' AS analyzer,
+              unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
+       FROM documents),
+allt AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+SELECT analyzer, count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms
+FROM allt GROUP BY analyzer ORDER BY analyzer
+""",
+        "ngram_multires": """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT 1 AS n, unnest(t) AS gram FROM toks WHERE len(t) >= 1
+  UNION ALL
+  SELECT 2, array_to_string(list_slice(t, i, i + 1), ' ')
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i) WHERE len(t) >= 2
+  UNION ALL
+  SELECT 3, array_to_string(list_slice(t, i, i + 2), ' ')
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i) WHERE len(t) >= 3
+)
+SELECT n, count(*) AS total, count(DISTINCT gram) AS distinct_grams
+FROM g GROUP BY n ORDER BY n
+""",
+        "events_rollup_pyramid": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT AS t FROM events),
+lv AS (
+  SELECT event_type, 'day' AS level, t // 86400 AS b FROM e
+  UNION ALL SELECT event_type, 'hour', t // 3600 FROM e
+  UNION ALL SELECT event_type, 'min10', t // 600 FROM e
+),
+bk AS (SELECT event_type, level, b, count(*) AS n FROM lv GROUP BY event_type, level, b)
+SELECT event_type, level, count(*) AS n_buckets, max(n) AS max_bucket
+FROM bk GROUP BY event_type, level ORDER BY event_type, level
+""",
         "doc_tf_shape": f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
@@ -1473,6 +1603,9 @@ def queries():
         "doc_tf_stats": q_doc_tf_stats,
         "doc_tf_moments": q_doc_tf_moments,
         "doc_tf_shape": q_doc_tf_shape,
+        "analyzer_family": q_analyzer_family,
+        "ngram_multires": q_ngram_multires,
+        "events_rollup_pyramid": q_events_rollup_pyramid,
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
         "events_hourly_entropy": q_events_hourly_entropy,

@@ -196,7 +196,7 @@ def main() -> None:
         scal: dict[int, dict] = {}
         pairs_done = 0
         eff = 0.0
-        while pairs_done < 2 or (eff < 0.82 and pairs_done < 4):
+        while pairs_done < 2 or (eff < 0.85 and pairs_done < 4):
             for c in (low, high):
                 r = _one(c)
                 if c not in scal or r["turns_per_sec"] > scal[c]["turns_per_sec"]:
