@@ -648,7 +648,10 @@ def merge_segments(
         if n_partials is not None
         else int(partials.agg(F.max("seg_id")).first()[0] or 0) + 1
     )
-    Qf = max(cfg.index.build_partitions // 4, 1)
+    # final output partitions: fine enough that a Zipf-hot term range doesn't
+    # become a straggler task (range partition sizes are skewed; small quanta
+    # pack into waves), coarse enough to keep file counts sane
+    Qf = max(cfg.index.build_partitions // 2, 2)
 
     if P <= cfg.index.hot_term_partials * S:
         # SINGLE-PHASE: even the hottest term has ≤ hot_term_partials*S

@@ -17,6 +17,12 @@ exposes as sorted search (/root/reference/src/vector/flux_vector.h).
 Matched docs are scored with standard BM25 over the phrase terms (global
 N/avgdl/df — exact corpus-level scores), so results rank like any other
 query. Scoring runs per-generation in executor tasks via applyInPandas.
+
+Scale note: one task holds one GENERATION's phrase-term rows. Phrase terms
+are body terms (Zipf tail) far more often than head terms, so the per-task
+payload is modest; a Zipf-head phrase at 10^12 turns would reuse the WAND
+doc-range shard splitter (operators/wand._make_shard_splitter — positions
+slice per-block exactly like postings) with a per-shard match + union.
 """
 
 from __future__ import annotations
