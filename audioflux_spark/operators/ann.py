@@ -33,10 +33,19 @@ def _dots(X: np.ndarray, C: np.ndarray) -> np.ndarray:
 
 def kmeans_train(X: np.ndarray, k: int, n_iter: int = 10) -> np.ndarray:
     """Deterministic Lloyd k-means (cosine geometry: vectors and centroids
-    L2-normalized each round; init = first k rows). No RNG anywhere."""
+    L2-normalized each round). Init is greedy farthest-point (k-means++ with
+    the argmax instead of a draw): c₀ = x₀, then each next centroid is the
+    point least similar to its nearest chosen centroid — deterministic, no
+    RNG, and immune to the first-k-rows-in-one-cluster collapse."""
     X = np.asarray(X, dtype=np.float64)
     Xn = X / np.maximum(np.sqrt((X * X).sum(axis=1, keepdims=True)), 1e-12)
-    C = Xn[:k].copy()
+    C = np.empty((k, Xn.shape[1]), dtype=np.float64)
+    C[0] = Xn[0]
+    best_sim = Xn @ C[0]  # nearest-chosen similarity per point
+    for j in range(1, k):
+        nxt = int(np.argmin(best_sim))  # farthest point (first index on ties)
+        C[j] = Xn[nxt]
+        np.maximum(best_sim, Xn @ C[j], out=best_sim)
     for _ in range(n_iter):
         assign = np.argmax(_dots(Xn, C), axis=1)
         for j in range(k):

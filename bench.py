@@ -206,12 +206,16 @@ def main() -> None:
             # result.
             return e <= 1.02
 
+        t_scaling = time.perf_counter()
+        budget_s = float(os.environ.get("AFSPARK_SCALE_BUDGET_S", "1200"))
         while len(pairs) < 2 or (eff_best < 0.85 and len(pairs) < 4):
             r_low = _one(low)
             r_high = _one(high)
             e = r_high["turns_per_sec"] / (r_low["turns_per_sec"] * (high / low))
             pairs.append((r_low, r_high, e))
             eff_best = max([p[2] for p in pairs if _valid(p[2])], default=0.0)
+            if len(pairs) >= 2 and time.perf_counter() - t_scaling > budget_s:
+                break  # slow-host window: don't balloon the bench wall time
         valid = [p for p in pairs if _valid(p[2])]
         r_low, r_high, eff = (
             max(valid, key=lambda p: p[2]) if valid else min(pairs, key=lambda p: p[2])

@@ -288,6 +288,48 @@ def test_lsh_pairs_find_planted_dup(spark, tmp_path_factory):
     assert exact == 1_000_000
 
 
+# -------------------------------------------------------------------- ANN
+
+
+def test_kmeans_deterministic_and_clusters():
+    from audioflux_spark.operators.ann import ivf_assign_np, kmeans_train
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 16)) * 4
+    X = np.concatenate([c + rng.normal(scale=0.2, size=(50, 16)) for c in centers])
+    C1 = kmeans_train(X, 4)
+    C2 = kmeans_train(X, 4)
+    np.testing.assert_array_equal(C1, C2)  # no RNG anywhere
+    a = ivf_assign_np(X, C1)
+    # planted clusters must be pure: every group of 50 maps to one bucket
+    for g in range(4):
+        assert len(set(a[g * 50 : (g + 1) * 50].tolist())) == 1
+    assert len(set(a.tolist())) == 4
+
+
+def test_ivf_probe_recall(spark):
+    """nprobe=2 of 8 buckets must recover the brute-force top-10 for a query
+    inside a planted cluster (the IVF recall contract on clustered data)."""
+    from audioflux_spark.operators.ann import (
+        ivf_assign_np,
+        ivf_probe_buckets,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 32)) * 5
+    X = np.concatenate([c + rng.normal(scale=0.3, size=(64, 32)) for c in centers])
+    C = kmeans_train(X[:256], 8)
+    a = ivf_assign_np(X, C)
+    q = X[0]
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    brute = set(np.argsort(-cos)[:10].tolist())
+    probes = ivf_probe_buckets(q, C, 2)
+    cand = np.flatnonzero(np.isin(a, probes))
+    got = set(cand[np.argsort(-cos[cand])[:10]].tolist())
+    assert got == brute
+
+
 # ------------------------------------------------------------- multimodal
 
 
