@@ -1,0 +1,104 @@
+"""Custom stateful streaming operator — sessionization with carried state.
+
+The reference's only stateful construct is the isContinue tail-carry
+(/root/reference/src/stft_algorithm.c:41,50-51,536-586): bounded per-stream
+state carried across chunk boundaries so chunked results equal a one-shot
+run. This is the general Spark form of that contract:
+``applyInPandasWithState`` holds one bounded state row per group (user),
+micro-batches arrive in any chunking, and the emitted sessions are identical
+to a batch sessionization of the concatenated input (verified by
+tests/test_stateful_stream.py against the batch window-lag query).
+
+Semantics: events within ``gap_s`` of the previous event extend the session;
+a larger gap closes the previous session and emits it. Open sessions close
+either on state timeout (real deployments) or via ``flush`` events / stream
+end handled by the caller; the test drains with availableNow and reads open
+sessions from the final state emission.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id long, session_start long, session_end long, n_events long, closed boolean"
+)
+STATE_SCHEMA = "session_start long, last_t long, n_events long"
+
+
+def _sessionize_group(
+    key: Any,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    gap_s: int,
+    use_timeout: bool,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        # idle user: close and emit the open session
+        if state.exists:
+            s0, lt, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start": [s0],
+                 "session_end": [lt], "n_events": [n], "closed": [True]}
+            )
+        return
+
+    if state.exists:
+        s0, lt, n = state.get
+    else:
+        s0, lt, n = None, None, 0
+
+    out_rows: list[tuple] = []
+    ts = pd.concat([p[["t"]] for p in pdfs]).sort_values("t")["t"].to_numpy()
+    for t in ts:
+        t = int(t)
+        if lt is not None and t - lt > gap_s:
+            out_rows.append((user_id, s0, lt, n, True))
+            s0, n = t, 0
+        if s0 is None:
+            s0 = t
+        lt = t
+        n += 1
+
+    state.update((int(s0), int(lt), int(n)))
+    if use_timeout:
+        state.setTimeoutDuration(gap_s * 1000)
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_s: int = 1800, timeout: bool = True
+) -> DataFrame:
+    """Streaming sessionization: (user_id, t epoch-seconds) stream → closed
+    sessions, one bounded state row per user (the tail-carry analog).
+
+    Works on both streaming and batch DataFrames (Spark runs the same
+    stateful operator either way), which is what lets the test compare the
+    chunked-stream output against a one-shot batch run."""
+    conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state):
+        return _sessionize_group(key, pdfs, state, gap_s, timeout)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=conf,
+    )
