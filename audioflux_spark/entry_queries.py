@@ -156,6 +156,51 @@ def q_bm25_topk_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_READERS: dict[str, tuple[IndexReader, IndexReader]] = {}
+
+
+def _incr_readers(spark: SparkSession, sf_dir: str) -> tuple[IndexReader, IndexReader]:
+    """(two-generation reader, compacted reader) over the documents corpus
+    split in half by doc_id — the incremental-maintenance correctness rig:
+    generations and compaction must both answer EXACTLY like a one-shot
+    build (and therefore like the SQL oracle on the full corpus)."""
+    if sf_dir not in _INCR_READERS:
+        from audioflux_spark.streaming.incremental import add_generation, compact_index
+
+        tag = hashlib.md5(f"{sf_dir}:incr-fmt3".encode()).hexdigest()[:10]
+        base = os.path.join("/tmp/afspark_entry_idx", f"incr_{tag}")
+        compacted = base + "_compacted"
+        first = documents_as_transcripts(spark, sf_dir, where="doc_id % 2 = 0")
+        second = documents_as_transcripts(spark, sf_dir, where="doc_id % 2 = 1")
+        build_index(spark, first, base, cfg=_ENTRY_CFG, resume=True)
+        gen_root = os.path.join(base, "generations")
+        if not os.path.isdir(gen_root) or not os.listdir(gen_root):
+            multi = add_generation(spark, second, base, cfg=_ENTRY_CFG)
+        else:
+            multi = IndexReader(spark, base)
+        if not os.path.exists(os.path.join(compacted, "meta.json")):
+            comp = compact_index(spark, base, compacted, cfg=_ENTRY_CFG)
+        else:
+            comp = IndexReader(spark, compacted)
+        _INCR_READERS[sf_dir] = (multi, comp)
+    return _INCR_READERS[sf_dir]
+
+
+def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a TWO-GENERATION index (corpus split doc_id even/odd, second
+    half added via add_generation): cross-generation stats make scores exact
+    global BM25, so the result must hash-match the one-shot SQL oracle."""
+    multi, _comp = _incr_readers(spark, sf_dir)
+    return _topk_to_docids(bm25_topk_indexed(multi, "join hash row", 20))
+
+
+def q_bm25_topk_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query over the COMPACTED index (generations folded into one base
+    without rewriting a posting byte): must also match the one-shot oracle."""
+    _multi, comp = _incr_readers(spark, sf_dir)
+    return _topk_to_docids(bm25_topk_indexed(comp, "join hash row", 20))
+
+
 def q_bm25_topk_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase top-k over the POSITIONAL index: docs containing the
     token sequence, BM25-ranked with full-corpus stats."""
@@ -1234,6 +1279,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_materialized_oracles(),
         "bm25_topk_hot": _bm25_sql(["join", "hash", "row"], 20),
+        # generations / compaction must be indistinguishable from a one-shot
+        # build — SAME oracle as the one-shot query
+        "bm25_topk_incremental": _bm25_sql(["join", "hash", "row"], 20),
+        "bm25_topk_compacted": _bm25_sql(["join", "hash", "row"], 20),
         "bm25_topk_rare": _bm25_sql(["dup", "the"], 25),
         "bm25_topk_exhaustive": _bm25_sql(["dup", "window"], 15),
         "bm25_topk_lang_filtered": _bm25_sql(["join", "hash"], 15, where="lang = 'en'"),
@@ -1570,6 +1619,8 @@ def queries():
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
         "bm25_topk_phrase": q_bm25_topk_phrase,
+        "bm25_topk_incremental": q_bm25_topk_incremental,
+        "bm25_topk_compacted": q_bm25_topk_compacted,
         "term_doc_freqs": q_term_doc_freqs,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,
