@@ -174,9 +174,20 @@ def _incr_readers(spark: SparkSession, sf_dir: str) -> tuple[IndexReader, IndexR
         second = documents_as_transcripts(spark, sf_dir, where="doc_id % 2 = 1")
         build_index(spark, first, base, cfg=_ENTRY_CFG, resume=True)
         gen_root = os.path.join(base, "generations")
-        if not os.path.isdir(gen_root) or not os.listdir(gen_root):
+        gen_dirs = (
+            sorted(d for d in os.listdir(gen_root) if d.startswith("gen-"))
+            if os.path.isdir(gen_root)
+            else []
+        )
+        if not gen_dirs:
             multi = add_generation(spark, second, base, cfg=_ENTRY_CFG)
         else:
+            # a prior run may have crashed mid-generation: meta.json is the
+            # build's LAST write, so its absence marks a half-built gen —
+            # resume its build instead of silently serving a partial index
+            newest = os.path.join(gen_root, gen_dirs[-1])
+            if not os.path.exists(os.path.join(newest, "meta.json")):
+                build_index(spark, second, newest, cfg=_ENTRY_CFG, resume=True)
             multi = IndexReader(spark, base)
         if not os.path.exists(os.path.join(compacted, "meta.json")):
             comp = compact_index(spark, base, compacted, cfg=_ENTRY_CFG)
@@ -1180,9 +1191,11 @@ tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
 idf AS (SELECT term, ln(1 + ((SELECT n_docs FROM corpus) - count(*) + 0.5) / (count(*) + 0.5)) AS idf
         FROM tf GROUP BY term),
 phrase_docs AS (
+  -- strpos, not LIKE: tokens may contain '_' (a LIKE single-char wildcard),
+  -- which would accept near-miss docs for any phrase term containing it
   SELECT doc_id FROM documents
-  WHERE ' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''), ' ') || ' '
-        LIKE '% {phrase} %'
+  WHERE strpos(' ' || array_to_string(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> ''), ' ') || ' ',
+               ' {phrase} ') > 0
 ),
 scored AS (
   SELECT tf.doc_id,

@@ -501,6 +501,13 @@ def build_index(
 
     manifest = load_manifest(index_dir) if resume else Manifest()
     done = manifest.completed_for(fps)
+    # offset-shift invalidation: a fingerprint match proves THIS partition's
+    # bytes are unchanged, but its docID base is a prefix-sum of EARLIER
+    # partitions' counts — if any of those changed, this partition's stored
+    # docIDs (docstore + partial blobs) encode the OLD base and would collide
+    # with the new layout. Rebuild any done partition whose recorded offset
+    # moved (or is unrecorded: legacy manifest).
+    done = {pid for pid in done if manifest.entries[pid].doc_offset == offsets[pid]}
     missing = sorted(set(fps) - done)
 
     partial_dir = os.path.join(index_dir, "segments_partial")
@@ -580,6 +587,7 @@ def build_index(
                 partition_id=pid,
                 input_fingerprint=fps[pid],
                 status="done",
+                doc_offset=offsets[pid],
                 terms=int(r["terms"]) if r else 0,
                 postings=int(r["postings"]) if r else 0,
                 bytes=int(r["bytes"]) if r else 0,

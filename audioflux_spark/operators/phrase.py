@@ -86,6 +86,15 @@ def phrase_match_kernel(
 
     decoded = {t: _decode_full(by_term[t]) for t in dict.fromkeys(terms)}
 
+    # packed-key safety: a position ≥ _POS_STRIDE would silently corrupt the
+    # (doc, position) keys and produce wrong matches — fail loudly instead
+    for t, (_d, _tf, _dl, pos) in decoded.items():
+        if pos.size and int(pos.max()) + len(terms) >= _POS_STRIDE:
+            raise ValueError(
+                f"document too long for phrase matching: term {t!r} has a "
+                f"token position {int(pos.max())} >= stride {_POS_STRIDE}"
+            )
+
     keys = None
     for i, t in enumerate(terms):
         doc_ids, tf, _dl, pos = decoded[t]

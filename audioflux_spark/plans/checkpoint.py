@@ -25,6 +25,13 @@ class PartitionEntry:
     partition_id: int
     input_fingerprint: str
     status: str = "done"
+    # dense docID base this partition's postings/docstore were ENCODED with.
+    # Offsets are a prefix-sum of partition counts, so an earlier partition's
+    # count changing on a resumed build shifts every later offset — a "done"
+    # partition whose recorded offset no longer matches must be rebuilt, or
+    # its stored docIDs collide with the new layout. -1 = legacy manifest
+    # (pre-offset tracking): always treated as stale.
+    doc_offset: int = -1
     terms: int = 0
     postings: int = 0
     bytes: int = 0

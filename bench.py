@@ -221,36 +221,62 @@ def main() -> None:
         # state, so the VM's hour-scale speed drift (measured 2x swings: the
         # identical 1-core job read 420 s and 238 s; a "fast-serial" hour
         # inflates tp_low without moving the bandwidth-capped tp_high) cannot
-        # pair a fast-host low run against a slow-host high run. Reported
-        # efficiency = the best PAIR (a self-consistent same-conditions
-        # measurement), minimum 2 pairs, up to 4 while below the noise band.
+        # pair a fast-host low run against a slow-host high run.
+        #
+        # Reported efficiency = the MEDIAN of valid pairs (min 2 valid).
+        # best-of-N was upward-biased: on a noisy host, only superlinear
+        # contamination is provably impossible, so selecting the max favors
+        # contaminated-HIGH draws. The median is robust to a single bad pair
+        # in either direction; best/worst remain visible in the disclosed
+        # pair list.
+        import statistics
+
         pairs: list[tuple[dict, dict, float, float]] = []
-        eff_best = 0.0
 
         def _valid(e: float, probe: float) -> bool:
             # superlinear pairs are physically impossible for this workload —
             # they mean the host's speed changed WITHIN the pair (observed: a
             # 6x slow window during one 1-core run made a pair read "1.82");
-            # probe > 1.3 means the host could not even give 4 CPUs to pure
-            # ALU work when the pair started. Contaminated pairs are
-            # disclosed but never reported as the result.
+            # probe > 1.3 means the host could not give 4 CPUs to pure ALU
+            # work at some point DURING the pair (probed before the low leg,
+            # between the legs, and after the high leg — a noisy-neighbor
+            # window opening mid-pair is caught, not just one present at the
+            # start). Contaminated pairs are disclosed but never reported.
             return e <= 1.02 and probe <= 1.3
 
+        def _median_valid() -> float:
+            effs = [p[2] for p in pairs if _valid(p[2], p[3])]
+            return statistics.median(effs) if effs else 0.0
+
         t_scaling = time.perf_counter()
-        budget_s = float(os.environ.get("AFSPARK_SCALE_BUDGET_S", "1200"))
-        while len(pairs) < 2 or (eff_best < 0.85 and len(pairs) < 4):
-            probe = _probe_ratio()
+        budget_s = float(os.environ.get("AFSPARK_SCALE_BUDGET_S", "1500"))
+        max_pairs = int(os.environ.get("AFSPARK_SCALE_MAX_PAIRS", "5"))
+        while True:
+            probe_pre = _probe_ratio()
             r_low = _one(low)
+            probe_mid = _probe_ratio()
             r_high = _one(high)
+            probe_post = _probe_ratio()
+            probe = max(probe_pre, probe_mid, probe_post)
             e = r_high["turns_per_sec"] / (r_low["turns_per_sec"] * (high / low))
             pairs.append((r_low, r_high, e, probe))
-            eff_best = max([p[2] for p in pairs if _valid(p[2], p[3])], default=0.0)
-            if len(pairs) >= 2 and time.perf_counter() - t_scaling > budget_s:
+            n_valid = sum(1 for p in pairs if _valid(p[2], p[3]))
+            elapsed = time.perf_counter() - t_scaling
+            if len(pairs) >= max_pairs:
+                break
+            if n_valid >= 2 and _median_valid() >= 0.85:
+                break  # confidently past the gate; stop burning wall time
+            if n_valid >= 2 and elapsed > budget_s:
                 break  # slow-host window: don't balloon the bench wall time
+            if elapsed > 2 * budget_s:
+                break  # hard stop even without 2 valid pairs
         valid = [p for p in pairs if _valid(p[2], p[3])]
-        r_low, r_high, eff, _pr = (
-            max(valid, key=lambda p: p[2]) if valid else min(pairs, key=lambda p: p[2])
-        )
+        eff = (statistics.median([p[2] for p in valid]) if valid
+               else statistics.median([p[2] for p in pairs]))
+        # representative legs for the headline tps: the valid pair whose
+        # efficiency is closest to the reported median
+        pool = valid if valid else pairs
+        r_low, r_high, _e, _pr = min(pool, key=lambda p: abs(p[2] - eff))
         tp_low, tp_high = r_low["turns_per_sec"], r_high["turns_per_sec"]
         results["scaling"] = {
             "sf": scale_sf,
@@ -258,8 +284,10 @@ def main() -> None:
             "turns_per_sec_low": round(tp_low, 1),
             "turns_per_sec_high": round(tp_high, 1),
             "efficiency": round(eff, 3),
-            # every pair disclosed — the reported efficiency is the best
-            # same-conditions pair, not a cross-pair composite
+            "statistic": "median_of_valid_pairs",
+            "n_valid_pairs": len(valid),
+            # every pair disclosed — the reported efficiency is the median of
+            # same-conditions valid pairs, not a best-of-N composite
             "pairs": [
                 {
                     "low_tps": round(pl["turns_per_sec"], 1),
