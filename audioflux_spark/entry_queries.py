@@ -75,7 +75,7 @@ def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Build (once per sf_dir, resumable) a POSITIONAL index over documents-
     as-transcripts; cached across queries in the same session."""
     if sf_dir not in _READERS:
-        tag = hashlib.md5(f"{sf_dir}:fmt3pos".encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"{sf_dir}:fmt4pos".encode()).hexdigest()[:10]
         idx = os.path.join("/tmp/afspark_entry_idx", tag)
         t = documents_as_transcripts(spark, sf_dir)
         build_index(spark, t, idx, cfg=_ENTRY_CFG, resume=True)
@@ -167,7 +167,7 @@ def _incr_readers(spark: SparkSession, sf_dir: str) -> tuple[IndexReader, IndexR
     if sf_dir not in _INCR_READERS:
         from audioflux_spark.streaming.incremental import add_generation, compact_index
 
-        tag = hashlib.md5(f"{sf_dir}:incr-fmt3".encode()).hexdigest()[:10]
+        tag = hashlib.md5(f"{sf_dir}:incr-fmt4".encode()).hexdigest()[:10]
         base = os.path.join("/tmp/afspark_entry_idx", f"incr_{tag}")
         compacted = base + "_compacted"
         first = documents_as_transcripts(spark, sf_dir, where="doc_id % 2 = 0")

@@ -281,7 +281,8 @@ def encode_positions_flat(
     pos: np.ndarray,
     posting_starts: np.ndarray,
     term_token_starts: np.ndarray,
-) -> tuple[bytes, np.ndarray]:
+    posting_block_starts: np.ndarray | None = None,
+) -> tuple[bytes, np.ndarray, np.ndarray]:
     """Encode token positions (token-level array, grouped by posting) as
     varint deltas resetting at every posting boundary (first position stored
     as pos+1 against base −1, like doc gaps). Self-contained per posting, so
@@ -289,13 +290,24 @@ def encode_positions_flat(
     the per-posting counts — which ARE the tf values (one position per
     occurrence; no extra metadata).
 
-    Returns (flat byte buffer, per-TERM byte offsets) for Arrow Binary
-    construction. Positions give the index the reference framing operators'
-    order preservation (/root/reference/src/stft_algorithm.c:813-833) —
-    the substrate for exact-phrase queries."""
+    Returns (flat byte buffer, per-TERM byte offsets, per-BLOCK byte lengths)
+    for Arrow Binary construction. ``posting_block_starts`` is the global
+    posting index of each block-max block's first posting (aligned with the
+    doc/tf/dl block structure); per-block position byte lengths are what let
+    the WAND shard splitter byte-slice pos blobs to a docID range without
+    decoding — sharded phrase matching. Positions give the index the
+    reference framing operators' order preservation
+    (/root/reference/src/stft_algorithm.c:813-833) — the substrate for
+    exact-phrase queries."""
     n = pos.size
+    if posting_block_starts is None:
+        posting_block_starts = term_token_starts[:0]
     if n == 0:
-        return b"", np.zeros(term_token_starts.size + 1, dtype=np.int32)
+        return (
+            b"",
+            np.zeros(term_token_starts.size + 1, dtype=np.int32),
+            np.zeros(posting_block_starts.size, dtype=np.int32),
+        )
     gaps = np.empty(n, dtype=np.int64)
     gaps[1:] = pos[1:] - pos[:-1]
     gaps[posting_starts] = pos[posting_starts] + 1
@@ -305,7 +317,15 @@ def encode_positions_flat(
     offs = np.empty(term_token_starts.size + 1, dtype=np.int32)
     offs[:-1] = starts[term_token_starts]
     offs[-1] = len(buf)
-    return buf, offs
+    if posting_block_starts.size:
+        # block's first TOKEN index = posting_starts[block's first posting]
+        blk_tok_starts = posting_starts[posting_block_starts]
+        blk_byte_starts = starts[blk_tok_starts]
+        blk_byte_ends = np.append(blk_byte_starts[1:], len(buf))
+        pos_bytes = (blk_byte_ends - blk_byte_starts).astype(np.int32)
+    else:
+        pos_bytes = np.zeros(0, dtype=np.int32)
+    return buf, offs, pos_bytes
 
 
 def decode_positions(blob: bytes | memoryview, tf: np.ndarray) -> np.ndarray:

@@ -52,7 +52,7 @@ _SEG_COLS = (
     "doc_blob binary, tf_blob binary, dl_blob binary, pos_blob binary, "
     "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
     "block_doc_bytes array<int>, block_tf_bytes array<int>, block_dl_bytes array<int>, "
-    "part_counts array<long>"
+    "block_pos_bytes array<int>, part_counts array<long>"
 )
 PARTIAL_SCHEMA = "seg_id int, " + _SEG_COLS
 MERGED_SCHEMA = _SEG_COLS
@@ -220,6 +220,7 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
             ("block_doc_bytes", pa.list_(pa.int32())),
             ("block_tf_bytes", pa.list_(pa.int32())),
             ("block_dl_bytes", pa.list_(pa.int32())),
+            ("block_pos_bytes", pa.list_(pa.int32())),
             ("part_counts", pa.list_(pa.int64())),
         ]
     )
@@ -286,12 +287,16 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
             u_docs, tf, doc_len[u_local], term_bounds, avgdl, k1, b, block_size
         )
         n_terms = term_bounds.size
+        counts_flat = enc["counts_flat"].astype(np.int64)
+        posting_blk_starts = np.cumsum(counts_flat) - counts_flat
         if store_pos:
-            pos_buf, pos_offs = encode_positions_flat(
-                pos_tok, starts, starts[term_bounds]
+            pos_buf, pos_offs, pos_bytes_flat = encode_positions_flat(
+                pos_tok, starts, starts[term_bounds], posting_blk_starts
             )
         else:
-            pos_buf, pos_offs = b"", np.zeros(n_terms + 1, dtype=np.int32)
+            pos_buf = b""
+            pos_offs = np.zeros(n_terms + 1, dtype=np.int32)
+            pos_bytes_flat = np.zeros(posting_blk_starts.size, dtype=np.int32)
 
         def bin_arr(buf: bytes, offs: np.ndarray) -> pa.Array:
             return pa.Array.from_buffers(
@@ -321,6 +326,7 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
                 list_arr(enc["block_offsets"], enc["doc_bytes_flat"], pa.int32()),
                 list_arr(enc["block_offsets"], enc["tf_bytes_flat"], pa.int32()),
                 list_arr(enc["block_offsets"], enc["dl_bytes_flat"], pa.int32()),
+                list_arr(enc["block_offsets"], pos_bytes_flat, pa.int32()),
                 # one partial per term at build time: part_counts = [df]
                 list_arr(
                     np.arange(n_terms + 1, dtype=np.int32),
@@ -337,7 +343,8 @@ def _make_segment_fn(offsets: list[int], keep: set[int], avgdl: float, cfg: Engi
 MERGED_COLS = [
     "term", "df", "first_doc", "last_doc", "doc_blob", "tf_blob", "dl_blob",
     "pos_blob", "block_counts", "block_firsts", "block_maxes",
-    "block_doc_bytes", "block_tf_bytes", "block_dl_bytes", "part_counts",
+    "block_doc_bytes", "block_tf_bytes", "block_dl_bytes", "block_pos_bytes",
+    "part_counts",
 ]
 
 
@@ -372,6 +379,7 @@ def _make_merge_stream(key_cols: list[str]):
             ("block_doc_bytes", pa.list_(pa.int32())),
             ("block_tf_bytes", pa.list_(pa.int32())),
             ("block_dl_bytes", pa.list_(pa.int32())),
+            ("block_pos_bytes", pa.list_(pa.int32())),
             ("part_counts", pa.list_(pa.int64())),
         ]
     )
@@ -447,6 +455,7 @@ def _make_merge_stream(key_cols: list[str]):
                 merged_list("block_doc_bytes"),
                 merged_list("block_tf_bytes"),
                 merged_list("block_dl_bytes"),
+                merged_list("block_pos_bytes"),
                 merged_list("part_counts"),
             ],
             schema=out_schema,

@@ -1,4 +1,4 @@
-"""Exact-phrase search over the positional index.
+"""Exact-phrase search over the positional index — doc-range sharded.
 
 The reference's framing operators preserve intra-frame order
 (/root/reference/src/stft_algorithm.c:813-833 — samples keep their position
@@ -16,13 +16,16 @@ exposes as sorted search (/root/reference/src/vector/flux_vector.h).
 
 Matched docs are scored with standard BM25 over the phrase terms (global
 N/avgdl/df — exact corpus-level scores), so results rank like any other
-query. Scoring runs per-generation in executor tasks via applyInPandas.
+query.
 
-Scale note: one task holds one GENERATION's phrase-term rows. Phrase terms
-are body terms (Zipf tail) far more often than head terms, so the per-task
-payload is modest; a Zipf-head phrase at 10^12 turns would reuse the WAND
-doc-range shard splitter (operators/wand._make_shard_splitter — positions
-slice per-block exactly like postings) with a per-shard match + union.
+Scale shape: the same doc-range shard splitter as WAND serving
+(operators/wand._make_shard_splitter with include_pos) byte-slices each
+phrase term's posting AND position blobs to the docID ranges they overlap
+(per-block byte lengths make slicing pure arithmetic), so matching runs per
+(generation, shard) in executor tasks and a Zipf-HEAD phrase term's full
+posting/position list never lands in one task. Boundary blocks are sent to
+both sides; the kernel clips matched docs to [range_lo, range_hi), so every
+doc matches in exactly one shard with all its terms present.
 """
 
 from __future__ import annotations
@@ -47,16 +50,18 @@ _POS_STRIDE = 1 << 22
 
 
 def _decode_full(row) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """(doc_ids, tf, dl, positions) for one merged term row (full decode —
-    phrase terms are decoded once, not block-pruned).
+    """(doc_ids, tf, dl, positions) for one merged term row — full row OR a
+    shard-splitter byte slice (posting count comes from the sliced
+    block_counts, not the row-level df, so both decode identically).
 
     Doc ids are BLOCK-anchored (each block's first docID re-anchors its delta
     chain) rather than partial-anchored: block_firsts is then the only
     absolute docID state in the whole row, which is what lets generation
-    compaction shift docID spaces without touching a single blob byte."""
-    n = int(row["df"])
-    gaps = varint_decode(bytes(row["doc_blob"]), n).astype(np.int64)
+    compaction shift docID spaces — and the shard splitter slice blobs —
+    without touching a single blob byte."""
     counts = np.asarray(row["block_counts"], dtype=np.int64)
+    n = int(counts.sum())
+    gaps = varint_decode(bytes(row["doc_blob"]), n).astype(np.int64)
     firsts = np.asarray(row["block_firsts"], dtype=np.int64)
     rel = delta_decode_segmented(gaps, counts)
     block_starts = np.cumsum(counts) - counts
@@ -75,11 +80,15 @@ def phrase_match_kernel(
     k1: float,
     b: float,
     idfs: dict[str, float],
+    doc_lo: int | None = None,
+    doc_hi: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One generation's phrase match + BM25 scoring.
+    """One (generation, shard)'s phrase match + BM25 scoring.
 
-    term_rows: one decoded segment row per phrase term (same generation).
-    Returns (doc_ids, scores) for docs containing the exact sequence."""
+    term_rows: one decoded segment row per phrase term (same generation,
+    blobs possibly byte-sliced to a doc range). doc_lo/doc_hi clip matches to
+    the shard's exact docID range (boundary blocks are duplicated across
+    shards). Returns (doc_ids, scores) for docs containing the sequence."""
     by_term = {r["term"]: r for r in term_rows}
     if any(t not in by_term for t in terms):
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
@@ -109,6 +118,12 @@ def phrase_match_kernel(
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
 
     match_docs = np.unique(keys // _POS_STRIDE)
+    if doc_lo is not None:
+        match_docs = match_docs[match_docs >= doc_lo]
+    if doc_hi is not None:
+        match_docs = match_docs[match_docs < doc_hi]
+    if match_docs.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
 
     scores = np.zeros(match_docs.size, dtype=np.float64)
     for t in dict.fromkeys(terms):
@@ -122,14 +137,31 @@ def phrase_match_kernel(
     return match_docs, scores
 
 
-def bm25_topk_phrase(reader: IndexReader, phrase: str, k: int = 10) -> DataFrame:
+def bm25_topk_phrase(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    shard_docs: int | None = None,
+) -> DataFrame:
     """Exact-phrase top-k: docs containing the token sequence, ranked by the
     BM25 score of the phrase's terms (global corpus stats), ties broken by
-    (conv_id, turn_idx). Requires an index built with store_positions."""
+    (conv_id, turn_idx). Requires an index built with store_positions.
+
+    All matching runs in executor tasks, one per (generation, doc-range
+    shard); posting + position blobs reach each task byte-sliced to its
+    range, never whole."""
     from functools import reduce
 
     from pyspark.sql.window import Window
 
+    from audioflux_spark.operators.wand import (
+        DEFAULT_SHARD_DOCS,
+        _SHARDED_POS_SCHEMA,
+        _make_shard_splitter,
+    )
+
+    if shard_docs is None:
+        shard_docs = DEFAULT_SHARD_DOCS
     spark = reader.spark
     terms = query_terms(phrase)
     empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
@@ -137,6 +169,7 @@ def bm25_topk_phrase(reader: IndexReader, phrase: str, k: int = 10) -> DataFrame
         return empty
     k1, b = reader.meta.k1, reader.meta.b
     n_docs, avgdl = reader.n_docs, reader.avgdl
+    gen_ndocs = {g.gen_id: g.meta.n_docs for g in reader.generations}
 
     seg_union = reduce(
         DataFrame.unionByName,
@@ -153,10 +186,37 @@ def bm25_topk_phrase(reader: IndexReader, phrase: str, k: int = 10) -> DataFrame
         return empty
     idfs = {t: idf_value(n_docs, gdf[t]) for t in set(terms)}
 
-    def match_gen(pdf: pd.DataFrame) -> pd.DataFrame:
+    single_shard = all(n <= shard_docs for n in gen_ndocs.values())
+    if single_shard:
+        # one shard per generation — skip the splitter's Python exchange
+        range_hi = F.lit(0).cast("long")
+        for gid, n in gen_ndocs.items():
+            range_hi = F.when(F.col("gen") == gid, F.lit(n)).otherwise(range_hi)
+        sharded = (
+            seg_union.withColumn("shard", F.lit(0))
+            .withColumn("range_lo", F.lit(0).cast("long"))
+            .withColumn("range_hi", range_hi.cast("long"))
+        )
+    else:
+        gdf_map = F.create_map(
+            *[x for t, v in gdf.items() for x in (F.lit(t), F.lit(v))]
+        )
+        sharded = (
+            seg_union.withColumn("query_id", F.lit("q"))
+            .withColumn("k", F.lit(int(k)))
+            .withColumn("gdf", gdf_map[F.col("term")])
+            .mapInPandas(
+                _make_shard_splitter(gen_ndocs, shard_docs, include_pos=True),
+                schema=_SHARDED_POS_SCHEMA,
+            )
+        )
+
+    def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = [pdf.iloc[i] for i in range(len(pdf))]
         doc_ids, scores = phrase_match_kernel(
-            rows, terms, n_docs, avgdl, k1, b, idfs
+            rows, terms, n_docs, avgdl, k1, b, idfs,
+            doc_lo=int(pdf["range_lo"].iloc[0]),
+            doc_hi=int(pdf["range_hi"].iloc[0]),
         )
         return pd.DataFrame(
             {
@@ -166,8 +226,8 @@ def bm25_topk_phrase(reader: IndexReader, phrase: str, k: int = 10) -> DataFrame
             }
         )
 
-    hits = seg_union.groupBy("gen").applyInPandas(
-        match_gen, schema="gen int, doc_id long, score double"
+    hits = sharded.groupBy("gen", "shard").applyInPandas(
+        match_shard, schema="gen int, doc_id long, score double"
     )
     ds_union = reduce(
         DataFrame.unionByName,

@@ -233,23 +233,36 @@ def wand_topk_kernel(
     return top_d, top_s
 
 
-_SHARDED_SCHEMA = (
+_SHARDED_COLS = (
     "query_id string, gen int, shard int, k int, term string, gdf long, "
     "df long, last_doc long, doc_blob binary, tf_blob binary, dl_blob binary, "
     "block_counts array<int>, block_firsts array<long>, block_maxes array<double>, "
-    "block_doc_bytes array<int>, block_tf_bytes array<int>, block_dl_bytes array<int>, "
+    "block_doc_bytes array<int>, block_tf_bytes array<int>, block_dl_bytes array<int>"
+)
+_SHARDED_SCHEMA = _SHARDED_COLS + ", range_lo long, range_hi long"
+# phrase path: position blobs ride along, sliced by the same block arithmetic
+_SHARDED_POS_SCHEMA = (
+    _SHARDED_COLS + ", pos_blob binary, block_pos_bytes array<int>, "
     "range_lo long, range_hi long"
 )
 
 
-def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
+def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int,
+                         include_pos: bool = False):
     """mapInPandas splitter: one (query, term, gen) segment row → one sub-row
     per docID-range shard it overlaps, with posting blobs BYTE-SLICED to the
     overlapping block range (per-block byte lengths make slicing pure
     arithmetic — no decode). Shards partition the docID space exactly; a
     block straddling a boundary is sent to both sides and the kernel clips to
     [range_lo, range_hi), so every doc is scored in exactly one shard with
-    all its terms present."""
+    all its terms present. With ``include_pos``, position blobs are sliced by
+    the same per-block byte lengths (block_pos_bytes) — the substrate for
+    doc-range-sharded PHRASE matching (a Zipf-head phrase term's positions
+    never land in one task)."""
+    blob_cols = [("doc_blob", "block_doc_bytes"), ("tf_blob", "block_tf_bytes"),
+                 ("dl_blob", "block_dl_bytes")]
+    if include_pos:
+        blob_cols.append(("pos_blob", "block_pos_bytes"))
 
     def split(batches):
         for pdf in batches:
@@ -257,7 +270,9 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
                 "query_id", "gen", "shard", "k", "term", "gdf", "df",
                 "last_doc", "doc_blob", "tf_blob", "dl_blob", "block_counts",
                 "block_firsts", "block_maxes", "block_doc_bytes",
-                "block_tf_bytes", "block_dl_bytes", "range_lo", "range_hi",
+                "block_tf_bytes", "block_dl_bytes",
+                *(["pos_blob", "block_pos_bytes"] if include_pos else []),
+                "range_lo", "range_hi",
             ]}
             # loop over SEGMENT rows (per-term metadata — bounded by query
             # terms × generations, not by postings); all per-posting work
@@ -275,17 +290,14 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
                     ends[:-1] = firsts[1:] - 1
                     ends[-1] = int(row["last_doc"])
                 offs = {}
-                for col in ("block_doc_bytes", "block_tf_bytes", "block_dl_bytes"):
-                    ln = np.asarray(row[col], dtype=np.int64)
+                blobs = {}
+                for bcol, lcol in blob_cols:
+                    ln = np.asarray(row[lcol], dtype=np.int64)
                     o = np.empty(ln.size + 1, dtype=np.int64)
                     o[0] = 0
                     np.cumsum(ln, out=o[1:])
-                    offs[col] = o
-                blobs = {
-                    "doc_blob": bytes(row["doc_blob"]),
-                    "tf_blob": bytes(row["tf_blob"]),
-                    "dl_blob": bytes(row["dl_blob"]),
-                }
+                    offs[lcol] = o
+                    blobs[bcol] = bytes(row[bcol])
                 maxes = np.asarray(row["block_maxes"], dtype=np.float64)
                 for s in range(n_shards):
                     lo = s * shard_docs
@@ -302,9 +314,7 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int):
                     out["gdf"].append(int(row["gdf"]))
                     out["df"].append(int(row["df"]))
                     out["last_doc"].append(int(ends[bj - 1]))
-                    for col, bo in (("doc_blob", "block_doc_bytes"),
-                                    ("tf_blob", "block_tf_bytes"),
-                                    ("dl_blob", "block_dl_bytes")):
+                    for col, bo in blob_cols:
                         o = offs[bo]
                         out[col].append(blobs[col][o[bi]:o[bj]])
                         out[bo].append(
@@ -356,7 +366,7 @@ def _sharded_hits(
     seg_union = reduce(
         DataFrame.unionByName,
         [
-            g.segments.drop("pos_blob")
+            g.segments.drop("pos_blob", "block_pos_bytes")
             .filter(F.col("term").isin(terms_all))
             .withColumn("gen", F.lit(g.gen_id))
             for g in reader.generations
