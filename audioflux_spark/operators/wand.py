@@ -37,6 +37,8 @@ reaches the driver):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -331,18 +333,40 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int,
     return split
 
 
+def _docstore_keys(docstore_dir: str, doc_ids: np.ndarray) -> pd.DataFrame:
+    """(doc_id, conv_id, turn_idx) for the given docIDs, read with pyarrow
+    directly inside the executor task: docstore files are doc_id-sorted, so
+    the isin filter prunes to ~|doc_ids| row groups via parquet statistics.
+    This folds the key lookup into the scoring job — serving pays ONE Spark
+    job instead of scoring + lookup."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(docstore_dir, format="parquet", partitioning="hive")
+    tbl = dset.to_table(
+        columns=["doc_id", "conv_id", "turn_idx"],
+        filter=pads.field("doc_id").isin([int(d) for d in doc_ids]),
+    )
+    return tbl.to_pandas()
+
+
 def _sharded_hits(
     reader: IndexReader,
     queries: list[tuple[str, str, int]],
     shard_docs: int,
+    resolve_keys: bool = False,
 ) -> DataFrame | None:
     """Scored candidates per (query, generation, shard):
     (query_id, gen, doc_id, score, k) with exact global BM25 scores and whole
     tie groups kept. All scoring runs in executor tasks; no posting blob ever
-    reaches the driver."""
+    reaches the driver. With ``resolve_keys``, each scoring task also resolves
+    its hits' (conv_id, turn_idx) against the generation's docstore via a
+    pyarrow row-group-pruned read — the single-job serving path."""
     from functools import reduce
 
     spark = reader.spark
+    gen_docstore = {
+        g.gen_id: os.path.join(g.dir, "docstore") for g in reader.generations
+    }
     k1, b = reader.meta.k1, reader.meta.b
     n_docs, avgdl = reader.n_docs, reader.avgdl
     # per-generation ENCODE avgdl (≤ the gen's final avgdl after partial
@@ -420,7 +444,7 @@ def _sharded_hits(
             doc_lo=int(pdf["range_lo"].iloc[0]),
             doc_hi=int(pdf["range_hi"].iloc[0]),
         )
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "query_id": pdf["query_id"].iloc[0],
                 "gen": gen_id,
@@ -429,8 +453,25 @@ def _sharded_hits(
                 "k": k,
             }
         )
+        if resolve_keys:
+            if len(out):
+                keys = _docstore_keys(gen_docstore[gen_id], doc_ids)
+                out = out.merge(keys, on="doc_id", how="left")
+            else:
+                out = out.assign(
+                    conv_id=pd.Series(dtype=str), turn_idx=pd.Series(dtype="int32")
+                )
+            out = out[
+                ["query_id", "gen", "doc_id", "conv_id", "turn_idx", "score", "k"]
+            ]
+        return out
 
     out_schema = "query_id string, gen int, doc_id long, score double, k int"
+    if resolve_keys:
+        out_schema = (
+            "query_id string, gen int, doc_id long, conv_id string, "
+            "turn_idx int, score double, k int"
+        )
     if single_shard and len(queries) == 1 and len(reader.generations) == 1:
         # exactly one score group → coalesce(1) + mapInPandas scores it in a
         # single NARROW task: no shuffle, no AQE stage, one Spark job — the
@@ -503,78 +544,25 @@ def bm25_topk_indexed(
     """Single-query top-k via the compressed index; returns
     (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
 
-    Serving-latency shape: the scoring kernel runs in executor tasks against
-    byte-sliced blobs (same path as bm25_topk_many); the driver collects only
-    the ≤k+ties RESULT rows (gen, doc_id, score) — never posting blobs — and
-    resolves them against the docstore with a doc_id IN (...) filter, which
-    hits parquet row-group min/max (docIDs are sorted within partitions), so
-    the key lookup reads ~k row groups instead of joining the corpus.
-    Multi-generation stats (N, avgdl, df) are global, so scores are exact
-    global BM25; ties resolve by the real (conv_id, turn_idx) keys
-    (rank-identical to the oracle regardless of docID assignment order)."""
+    Serving-latency shape: ONE Spark job. The scoring kernel runs in executor
+    tasks against byte-sliced blobs (same path as bm25_topk_many), and each
+    scoring task also resolves its hits' (conv_id, turn_idx) keys against the
+    generation's docstore via a pyarrow row-group-pruned read (docIDs are
+    sorted within docstore partitions, so the isin filter reads ~k row
+    groups). The driver collects only the ≤k+ties RESULT rows — never posting
+    blobs — and performs the final k-way merge in pandas (bounded by the tie
+    group, not the corpus). Multi-generation stats (N, avgdl, df) are global,
+    so scores are exact global BM25; ties resolve by the real (conv_id,
+    turn_idx) keys (rank-identical to the oracle regardless of docID
+    assignment order)."""
     spark = reader.spark
     empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
-    hits = _sharded_hits(reader, [("q", query_text, k)], shard_docs)
+    hits = _sharded_hits(reader, [("q", query_text, k)], shard_docs, resolve_keys=True)
     if hits is None or k <= 0:
         return empty
-    hit_rows = hits.select("gen", "doc_id", "score").collect()  # ≤ k + ties per shard
-    if not hit_rows:
+    out = hits.select("conv_id", "turn_idx", "score").toPandas()  # ≤ k+ties/shard
+    if not len(out):
         return empty
-    if len(hit_rows) > 512:
-        # massive tie group (Zipf-head term where thousands of docs share the
-        # k-th score): a literal IN (...) of that size costs more in plan
-        # analysis than it saves — resolve keys with a distributed join +
-        # rank window instead (the collected rows become the tiny build side)
-        from functools import reduce
-
-        from pyspark.sql.window import Window
-
-        hits_df = spark.createDataFrame(
-            [(int(r["gen"]), int(r["doc_id"]), float(r["score"])) for r in hit_rows],
-            "gen int, doc_id long, score double",
-        )
-        ds_union = reduce(
-            DataFrame.unionByName,
-            [
-                g.docstore.select(
-                    F.lit(g.gen_id).alias("gen"), "doc_id", "conv_id", "turn_idx"
-                )
-                for g in reader.generations
-            ],
-        )
-        w = Window.orderBy(F.col("score").desc(), "conv_id", "turn_idx")
-        return (
-            hits_df.join(ds_union, on=["gen", "doc_id"])
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("conv_id", "turn_idx", "score")
-            .orderBy(F.col("score").desc(), "conv_id", "turn_idx")
-        )
-    by_gen: dict[int, list] = {}
-    for r in hit_rows:
-        by_gen.setdefault(int(r["gen"]), []).append(r)
-    cands = []
-    for g in reader.generations:
-        rows = by_gen.get(g.gen_id)
-        if not rows:
-            continue
-        ids = [int(r["doc_id"]) for r in rows]
-        keys = (
-            g.docstore.filter(F.col("doc_id").isin(ids))
-            .select("doc_id", "conv_id", "turn_idx")
-            .toPandas()
-            .set_index("doc_id")
-        )
-        cands.append(
-            pd.DataFrame(
-                {
-                    "conv_id": keys.loc[ids, "conv_id"].to_numpy(),
-                    "turn_idx": keys.loc[ids, "turn_idx"].to_numpy(),
-                    "score": [float(r["score"]) for r in rows],
-                }
-            )
-        )
-    out = pd.concat(cands, ignore_index=True)
     out = out.sort_values(
         ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
     ).head(k)
