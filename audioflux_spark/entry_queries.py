@@ -460,25 +460,95 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-N_SIMHASH_BITS = 16
+N_SIMHASH_BITS = 64
+SIMHASH_BANDS = 4            # 4 bands × 16 bits
+SIMHASH_HAMMING_MAX = 3      # ≤3 bit flips leave ≥1 band intact (pigeonhole)
+
+
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc as FOUR 16-bit band values (sim0..sim3): bit b
+    = sign of Σ_tokens (±1 by parity of an md5 hex char; bits 0-31 from
+    md5(term), 32-63 from md5('simhash2|'+term)). tf-weighted automatically
+    (sum over occurrences). The 4×16 band representation keeps every value a
+    small positive int — portable to any engine (no signed-overflow games
+    with bit 63) — and IS the LSH banding unit for candidate pairs."""
+    tok = (
+        _doc_tokens(spark, sf_dir)
+        .withColumn("h1", F.md5("term"))
+        .withColumn("h2", F.md5(F.concat(F.lit("simhash2|"), F.col("term"))))
+    )
+
+    def bit_src(b: int):
+        col, off = ("h1", b) if b < 32 else ("h2", b - 32)
+        return F.when(F.ascii(F.substring(col, off + 1, 1)) % 2 == 1, 1).otherwise(-1)
+
+    agg = tok.groupBy("doc_id").agg(
+        *[F.sum(bit_src(b)).alias(f"s{b}") for b in range(N_SIMHASH_BITS)]
+    )
+    bands = []
+    for j in range(SIMHASH_BANDS):
+        v = None
+        for i in range(16):
+            b = 16 * j + i
+            bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            v = bit if v is None else v + bit
+        bands.append(v.cast("long").alias(f"sim{j}"))
+    return agg.select("doc_id", *bands)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: bit b = sign of Σ_tokens (±1 by parity of md5 hex char
-    b+1). tf-weighted automatically (sum over occurrences)."""
-    tok = _doc_tokens(spark, sf_dir).withColumn("h", F.md5("term"))
-    bit_sums = [
-        F.sum(
-            F.when(F.ascii(F.substring("h", b + 1, 1)) % 2 == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(N_SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for b in range(N_SIMHASH_BITS):
-        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
-        simhash = bit if simhash is None else simhash + bit
-    return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+    """64-bit SimHash signatures (4×16-bit bands)."""
+    return _simhash_bands(spark, sf_dir).orderBy("doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming-ball candidates via 16-bit band
+    buckets (docs agreeing on ≥1 of the 4 bands), verified with the exact
+    64-bit Hamming distance, kept if ≤ 3. Recall is EXACT for hamming ≤ 3:
+    3 bit flips can corrupt at most 3 of the 4 bands, so one band always
+    matches. Scale shape mirrors MinHash-LSH: the only join is a self-join
+    on (band, value) with oversized buckets dropped first."""
+    sig = _simhash_bands(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), F.col(f"sim{j}").alias("v"))
+                    for j in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.v").alias("v"))
+    w = Window.partitionBy("band", "v")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= MAX_BUCKET
+    ).drop("bsz")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sim{j}").alias(f"a{j}") for j in range(SIMHASH_BANDS)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sim{j}").alias(f"b{j}") for j in range(SIMHASH_BANDS)])
+    ham = None
+    for j in range(SIMHASH_BANDS):
+        h = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = h if ham is None else ham + h
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # --------------------------------------------------------------- embeddings
@@ -1210,18 +1280,71 @@ FROM scored ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
-def _simhash_sql() -> str:
+def _simhash_src(b: int) -> str:
+    """SQL for one signed bit contribution (bits 0-31 from md5(term),
+    32-63 from md5('simhash2|' || term)) — mirrors _simhash_bands exactly."""
+    h = "md5(term)" if b < 32 else "md5('simhash2|' || term)"
+    off = b + 1 if b < 32 else b - 31
+    return f"CASE WHEN ascii(substr({h}, {off}, 1)) % 2 = 1 THEN 1 ELSE -1 END"
+
+
+def _simhash_sig_cte() -> str:
     sums = ",\n    ".join(
-        f"sum(CASE WHEN ascii(substr(md5(term), {b + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(N_SIMHASH_BITS)
+        f"sum({_simhash_src(b)}) AS s{b}" for b in range(N_SIMHASH_BITS)
     )
-    bits = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(N_SIMHASH_BITS)
+    band_exprs = ",\n       ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s{16 * j + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        + f" AS BIGINT) AS sim{j}"
+        for j in range(SIMHASH_BANDS)
+    )
+    return f"""tok AS ({_TOK_SQL}),
+agg AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+sig AS (SELECT doc_id,
+       {band_exprs}
+FROM agg)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_sig_cte()}
+SELECT doc_id, sim0, sim1, sim2, sim3 FROM sig ORDER BY doc_id
+"""
+
+
+def _simhash_pairs_sql() -> str:
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {j} AS band, sim{j} AS v FROM sig"
+        for j in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.sim{j}, sb.sim{j}))" for j in range(SIMHASH_BANDS)
     )
     return f"""
-WITH tok AS ({_TOK_SQL}),
-agg AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+WITH {_simhash_sig_cte()},
+bands_all AS (
+  {band_union}
+),
+bands AS (
+  SELECT doc_id, band, v FROM (
+    SELECT doc_id, band, v, count(*) OVER (PARTITION BY band, v) AS bsz
+    FROM bands_all
+  ) WHERE bsz <= {MAX_BUCKET}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+WHERE {ham} <= {SIMHASH_HAMMING_MAX}
+ORDER BY p.doc_a, p.doc_b
 """
 
 
@@ -1361,6 +1484,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         "dedup_lsh_pairs": _lsh_jaccard_sql("ORDER BY 1, 2"),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash_pairs": _simhash_pairs_sql(),
         "ann_topk_cosine": _cosine_sql(False),
         "ann_ivf_label": _cosine_sql(True),
         "embedding_norms": """
@@ -1646,6 +1770,7 @@ def queries():
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_ivf_label": q_ann_ivf_label,
         "ann_ivf_trained": q_ann_ivf_trained,

@@ -130,6 +130,35 @@ def test_phrase_sharded_equals_unsharded(spark, pos_reader, transcripts_pdf):
         )
 
 
+def test_simhash_pairs_find_planted_near_dup(spark, tmp_path_factory):
+    """Identical docs → hamming 0; one-token-changed doc → small hamming;
+    unrelated docs must NOT pair at hamming ≤ 3."""
+    from audioflux_spark.entry_queries import q_dedup_simhash, q_dedup_simhash_pairs
+
+    d = str(tmp_path_factory.mktemp("simhash"))
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet forest until the morning light arrives"
+    )
+    rows = [(0, base), (1, base), (2, base.replace("morning", "evening"))]
+    rows += [
+        (i, f"totally different subject matter {i} covering wq{i} xq{i} yq{i} zq{i} aq{i} bq{i}")
+        for i in range(3, 40)
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    sig = q_dedup_simhash(spark, d).toPandas()
+    assert list(sig.columns) == ["doc_id", "sim0", "sim1", "sim2", "sim3"]
+    bands = sig[["sim0", "sim1", "sim2", "sim3"]].to_numpy()
+    assert ((bands >= 0) & (bands < 1 << 16)).all(), "band values must be 16-bit"
+    got = q_dedup_simhash_pairs(spark, d).toPandas()
+    pairs = {(a, b): h for a, b, h in zip(got.doc_a, got.doc_b, got.hamming)}
+    assert pairs.get((0, 1)) == 0, f"identical docs must pair at hamming 0: {pairs}"
+    for a, b in pairs:
+        assert {a, b} <= {0, 1, 2}, f"unrelated docs paired: {(a, b)}"
+
+
 def test_incomplete_generation_is_resumed(spark, transcripts_pdf, tmp_path_factory):
     """A crash between a generation's segment write and its meta.json must be
     detected (meta.json is the build's last write) and the generation's build
