@@ -596,49 +596,44 @@ ANN_NPROBE = 2
 ANN_TRAIN_SAMPLE = 2048  # deterministic bounded trainer sample (vec_id < n)
 
 
-def _ivf_model(spark: SparkSession, sf_dir: str):
-    """(centroids, probe buckets for query vec 0) — deterministic Lloyd
-    k-means on a bounded vec_id-pushdown sample (the FAISS coarse-quantizer
-    discipline: train on a sample, assign everything)."""
-    import numpy as np
+_IVF_READERS: dict[str, object] = {}
 
-    from audioflux_spark.operators.ann import ivf_probe_buckets, kmeans_train
 
-    rows = (
-        _emb(spark, sf_dir)
-        .filter(F.col("vec_id") < ANN_TRAIN_SAMPLE)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    rows.sort(key=lambda r: r["vec_id"])
-    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    C = kmeans_train(X, ANN_K_CENTROIDS)
-    qv = X[next(i for i, r in enumerate(rows) if r["vec_id"] == 0)]
-    return C, ivf_probe_buckets(qv, C, ANN_NPROBE)
+def _ivf_reader(spark: SparkSession, sf_dir: str):
+    """Build-once/query-many: the IVF index (centroids + bucket-partitioned
+    vectors) is a persisted artifact, like segments/docstore for BM25 —
+    queries open the artifact instead of retraining k-means or re-collecting
+    a sample per call."""
+    if sf_dir not in _IVF_READERS:
+        from audioflux_spark.operators.ann import IVFReader, build_ivf_index
+
+        tag = hashlib.md5(
+            f"{sf_dir}:ivf1:{ANN_K_CENTROIDS}:{ANN_TRAIN_SAMPLE}".encode()
+        ).hexdigest()[:10]
+        path = os.path.join("/tmp/afspark_entry_idx", f"ivf_{tag}")
+        if not os.path.exists(os.path.join(path, "meta.json")):
+            build_ivf_index(
+                spark, _emb(spark, sf_dir), path,
+                k=ANN_K_CENTROIDS, train_sample=ANN_TRAIN_SAMPLE,
+            )
+        _IVF_READERS[sf_dir] = IVFReader(spark, path)
+    return _IVF_READERS[sf_dir]
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained-centroid IVF ANN: k-means coarse quantizer, query probes its
-    nprobe nearest buckets, exact cosine only inside them (scan of ~nprobe/k
-    of the corpus instead of all of it; assignment is an Arrow-batched kernel
-    over the full table)."""
-    from audioflux_spark.operators.ann import ivf_assignments
-
-    C, probes = _ivf_model(spark, sf_dir)
-    emb = _emb(spark, sf_dir)
-    assign = ivf_assignments(emb, C)
-    cand = assign.filter(F.col("bucket").isin(probes)).join(emb, "vec_id")
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").cast("array<double>").alias("qv")
+    """Trained-centroid IVF ANN over the PERSISTED index artifact: the query
+    probes its nprobe nearest buckets (partition pruning on the artifact
+    scan), exact cosine only inside them (~nprobe/k of the corpus read)."""
+    reader = _ivf_reader(spark, sf_dir)
+    qv = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
     )
-    j = cand.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
-    ).crossJoin(F.broadcast(q))
-    cos = _dot(F.col("ev"), F.col("qv")) / (
-        F.sqrt(_dot(F.col("ev"), F.col("ev"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
+    cand = reader.search_cosine(qv, k=None, nprobe=ANN_NPROBE)
     return (
-        j.select("vec_id", _e6(cos).alias("cos_e6"))
+        cand.select("vec_id", _e6(F.col("cos")).alias("cos_e6"))
         .orderBy(F.desc("cos_e6"), "vec_id")
         .limit(10)
     )

@@ -86,3 +86,108 @@ def ivf_probe_buckets(qv: np.ndarray, C: np.ndarray, nprobe: int) -> list[int]:
     d = _dots(qv[None, :], C)[0]
     order = np.argsort(-d, kind="stable")
     return [int(b) for b in order[:nprobe]]
+
+
+# ------------------------------------------------- persisted index artifact
+
+
+def build_ivf_index(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    k: int = 8,
+    train_sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a build-once/query-many IVF index (the segments/docstore
+    discipline applied to ANN — FAISS's train-then-add, persisted):
+
+        out_dir/centroids/   k rows (bucket, centroid array<double>)
+        out_dir/vectors/     (id, vector) PARTITIONED BY bucket
+        out_dir/meta.json    k, train_sample, dim
+
+    Training is the deterministic farthest-point k-means on a bounded
+    id-pushdown sample (driver holds sample_n × dim floats, nothing more);
+    assignment is the Arrow-batched kernel over the full table. Vectors are
+    copied INTO the index partitioned by bucket, so a query's nprobe probes
+    become partition pruning — no join back to the source table, and queries
+    never retrain or re-collect anything."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = emb.filter(F.col(id_col) < train_sample).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[id_col])
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    C = kmeans_train(X, k)
+    os.makedirs(out_dir, exist_ok=True)
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in C[j]]) for j in range(k)],
+        "bucket int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    assign = ivf_assignments(emb, C, id_col, vec_col)
+    (
+        emb.select(id_col, vec_col)
+        .join(assign.withColumnRenamed("vec_id", id_col), id_col)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    meta = {"k": k, "train_sample": train_sample, "dim": int(X.shape[1])}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, sort_keys=True)
+
+
+class IVFReader:
+    """Opens a persisted IVF index: centroids pinned on the driver (k × dim
+    floats — bounded), vectors as a bucket-partitioned DataFrame. meta.json
+    is written last, so its presence marks a complete artifact."""
+
+    def __init__(self, spark, index_dir: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import json
+        import os
+
+        self.spark = spark
+        self.dir = index_dir
+        self.id_col, self.vec_col = id_col, vec_col
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        crows = spark.read.parquet(os.path.join(index_dir, "centroids")).collect()
+        crows.sort(key=lambda r: r["bucket"])
+        self.C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        self.vectors: DataFrame = spark.read.parquet(
+            os.path.join(index_dir, "vectors")
+        )
+
+    def probes(self, qv: np.ndarray, nprobe: int) -> list[int]:
+        return ivf_probe_buckets(np.asarray(qv, dtype=np.float64), self.C, nprobe)
+
+    def search_cosine(self, qv, k: int | None = 10, nprobe: int = 2) -> DataFrame:
+        """Exact cosine INSIDE the nprobe nearest buckets. The bucket filter
+        is a partition-pruning predicate on the artifact scan (~nprobe/k of
+        the corpus read); the cosine is pure JVM (zip_with + aggregate).
+        Returns (id, cos double), score-descending with id tie-break;
+        k=None returns every candidate (callers applying their own rounding
+        discipline order/limit themselves)."""
+        from pyspark.sql import functions as F
+
+        probes = self.probes(qv, nprobe)
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+            )
+
+        ev = F.col(self.vec_col).cast("array<double>")
+        cos = dot(ev, qlit) / (F.sqrt(dot(ev, ev)) * F.sqrt(dot(qlit, qlit)))
+        out = self.vectors.filter(F.col("bucket").isin(probes)).select(
+            F.col(self.id_col), cos.alias("cos")
+        )
+        if k is None:
+            return out
+        return out.orderBy(F.desc("cos"), self.id_col).limit(k)

@@ -159,6 +159,50 @@ def test_simhash_pairs_find_planted_near_dup(spark, tmp_path_factory):
         assert {a, b} <= {0, 1, 2}, f"unrelated docs paired: {(a, b)}"
 
 
+def test_ivf_index_artifact_recall(spark, tmp_path_factory):
+    """Persisted IVF artifact: build once, query many — recall@10 vs brute
+    force is monotone in nprobe and exact at nprobe=k on clustered data."""
+    import numpy as np
+
+    from audioflux_spark.operators.ann import IVFReader, build_ivf_index
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32)) * 5
+    X = np.concatenate([c + rng.normal(scale=0.3, size=(64, 32)) for c in centers])
+    src = str(tmp_path_factory.mktemp("ivf_src"))
+    pd.DataFrame(
+        {"vec_id": np.arange(len(X)), "embedding": [row.astype(np.float32).tolist() for row in X]}
+    ).to_parquet(os.path.join(src, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+
+    art = str(tmp_path_factory.mktemp("ivf_art") / "ivf")
+    build_ivf_index(spark, emb, art, k=8, train_sample=256)
+    reader = IVFReader(spark, art)
+    assert reader.C.shape == (8, 32)
+    assert reader.meta["k"] == 8
+
+    q = X[0]
+    cos = (X @ q) / (np.linalg.norm(X, axis=1) * np.linalg.norm(q))
+    brute = set(np.argsort(-cos)[:10].tolist())
+    recalls = []
+    for nprobe in (1, 2, 4, 8):
+        got = set(
+            r["vec_id"]
+            for r in reader.search_cosine(q, k=10, nprobe=nprobe).collect()
+        )
+        recalls.append(len(got & brute) / 10.0)
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[0] >= 0.9, f"clustered query should mostly live in 1 bucket: {recalls}"
+    assert recalls[-1] == 1.0, f"nprobe=k must equal brute force: {recalls}"
+
+    # the artifact is self-contained: a second reader answers without the
+    # source table, retraining, or any driver-side sample collect
+    reader2 = IVFReader(spark, art)
+    got2 = [r["vec_id"] for r in reader2.search_cosine(q, k=10, nprobe=2).collect()]
+    got1 = [r["vec_id"] for r in reader.search_cosine(q, k=10, nprobe=2).collect()]
+    assert got1 == got2
+
+
 def test_incomplete_generation_is_resumed(spark, transcripts_pdf, tmp_path_factory):
     """A crash between a generation's segment write and its meta.json must be
     detected (meta.json is the build's last write) and the generation's build
