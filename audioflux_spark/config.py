@@ -25,6 +25,14 @@ class AnalyzerConfig:
     # split on anything that is not [a-z0-9_]; token_pattern is the *keep* side
     token_pattern: str = "[a-z0-9_]+"
     split_pattern: str = "[^a-z0-9_]+"
+    # post-split filters (applied in this order, matching the SQL twins):
+    # 1. drop stopwords; 2. naive plural stemmer (strip trailing 's' from
+    # tokens longer than 3 chars — the classic "s-stemmer", Harman 1991)
+    stopwords: tuple[str, ...] = ()
+    strip_plural_s: bool = False
+
+
+EN_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
 
 
 # The analyzer FAMILY — the WindowType-enum analog (reference selects one of
@@ -41,6 +49,9 @@ ANALYZERS: dict[str, AnalyzerConfig] = {
     "alnum_cased": AnalyzerConfig(
         lowercase=False, token_pattern="[A-Za-z0-9_]+", split_pattern="[^A-Za-z0-9_]+"
     ),
+    # the two most common real tuning axes: stopword removal and stemming
+    "en_stop": AnalyzerConfig(stopwords=EN_STOPWORDS),
+    "s_stem": AnalyzerConfig(strip_plural_s=True),
 }
 
 

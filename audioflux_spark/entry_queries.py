@@ -991,24 +991,29 @@ def q_analyzer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     'window function', one row per analyzer."""
     from audioflux_spark.config import ANALYZERS
 
+    # ONE corpus scan: every analyzer's token array is computed in the same
+    # projection and exploded with an analyzer dimension — the unioned
+    # N-scan version read the corpus once per analyzer (N-1 redundant full
+    # scans at 100 TB)
     docs = _docs(spark, sf_dir)
-    parts = []
-    for name in sorted(ANALYZERS):
-        cfg = ANALYZERS[name]
-        tok = docs.select(
-            "doc_id", F.explode(tokens_col("text", cfg)).alias("term")
+    structs = [
+        F.struct(
+            F.lit(name).alias("analyzer"),
+            tokens_col("text", ANALYZERS[name]).alias("toks"),
         )
-        parts.append(
-            tok.agg(
-                F.lit(name).alias("analyzer"),
-                F.count("term").alias("total_tokens"),
-                F.countDistinct("term").alias("distinct_terms"),
-            )
+        for name in sorted(ANALYZERS)
+    ]
+    tok = docs.select(F.explode(F.array(*structs)).alias("a")).select(
+        F.col("a.analyzer").alias("analyzer"), F.explode("a.toks").alias("term")
+    )
+    return (
+        tok.groupBy("analyzer")
+        .agg(
+            F.count("term").alias("total_tokens"),
+            F.countDistinct("term").alias("distinct_terms"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("analyzer")
+        .orderBy("analyzer")
+    )
 
 
 def q_ngram_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,28 +1021,34 @@ def q_ngram_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-Q / wavelet transform family analog (CQT/CWT: the SAME signal
     analyzed at several resolutions, /root/reference/src/cqt_algorithm.c):
     per resolution, total and distinct shingle counts."""
-    toks = _docs(spark, sf_dir).select("doc_id", tokens_col("text").alias("toks"))
-    parts = []
-    for n in (1, 2, 3):
-        grams = toks.filter(F.size("toks") >= n).select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(n))),
-                )
-            ).alias("gram")
+    # ONE corpus scan (tokenized once): each resolution's grams come from the
+    # same token array, exploded with an n dimension — vs one full
+    # tokenize pass per resolution in the unioned version
+    toks = _docs(spark, sf_dir).select(tokens_col("text").alias("toks"))
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(n))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    structs = [
+        F.struct(F.lit(n).alias("n"), grams(n).alias("g")) for n in (1, 2, 3)
+    ]
+    g = toks.select(F.explode(F.array(*structs)).alias("s")).select(
+        F.col("s.n").alias("n"), F.explode("s.g").alias("gram")
+    )
+    return (
+        g.groupBy("n")
+        .agg(
+            F.count("gram").alias("total"),
+            F.countDistinct("gram").alias("distinct_grams"),
         )
-        parts.append(
-            grams.agg(
-                F.lit(n).alias("n"),
-                F.count("gram").alias("total"),
-                F.countDistinct("gram").alias("distinct_grams"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("n")
+        .orderBy("n")
+    )
 
 
 def q_events_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,6 +1111,74 @@ def q_doc_tf_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("dec_num") / F.col("dec_den"), F.lit(0.0))
         ).alias("decrease_e6"),
     ).orderBy("doc_id")
+
+
+def q_doc_rolloff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rolloff over the term axis — the reference's spectral rolloff
+    (/root/reference/src/feature/spectral_algorithm.c:282: smallest bin whose
+    cumulative energy reaches η·total, η=0.85), with frequency rank →
+    alphabetical term rank and energy → term frequency. Window cumsum in
+    term order is deterministic in both engines (integer-valued doubles)."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    wk = Window.partitionBy("doc_id").orderBy("term")
+    ranked = tf.withColumn("k", F.row_number().over(wk)).withColumn(
+        "cum", F.sum("w").over(wk)
+    )
+    tot = tf.groupBy("doc_id").agg(
+        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n_terms")
+    )
+    roll = (
+        ranked.join(tot, "doc_id")
+        .filter(F.col("cum") >= 0.85 * F.col("tot"))
+        .groupBy("doc_id", "n_terms")
+        .agg(F.min("k").alias("rolloff_k"))
+    )
+    return roll.select(
+        "doc_id",
+        F.col("rolloff_k").cast("long").alias("rolloff_k"),
+        "n_terms",
+        _e6(F.col("rolloff_k") / F.col("n_terms")).alias("rolloff_frac_e6"),
+    ).orderBy("doc_id")
+
+
+def q_events_yin_trough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first qualifying trough — the YIN pitch picker's
+    trough-select (/root/reference/src/mir/_pitch_yin.c:273-460: first local
+    minimum of the cumulative-mean-normalized difference under a threshold):
+    first event that is a strict local minimum AND below the user's
+    (min+max)/2 level. min/max are order-independent, so the threshold is
+    bit-identical across engines (unlike a mean, whose summation order
+    differs)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wu = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id", "event_id", "value", "t",
+        F.lag("value").over(w).alias("prev"),
+        F.lead("value").over(w).alias("next"),
+        ((F.min("value").over(wu) + F.max("value").over(wu)) / 2).alias("thresh"),
+    )
+    tr = x.filter(
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("value") < F.col("prev"))
+        & (F.col("value") < F.col("next"))
+        & (F.col("value") < F.col("thresh"))
+    ).withColumn("rn", F.row_number().over(w))  # rank among troughs only
+    return (
+        tr.filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("trough_event_id"),
+            _e6(F.col("value")).alias("trough_value_e6"),
+            F.col("t").alias("trough_t"),
+        )
+        .orderBy("user_id")
+    )
 
 
 def q_events_mkl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,6 +1351,44 @@ scored AS (
 )
 SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+"""
+
+
+def _analyzer_sql_expr(name: str) -> str:
+    """DuckDB token-LIST expression for one analyzer preset — generated from
+    the same AnalyzerConfig the engine uses, so the twins cannot drift."""
+    from audioflux_spark.config import ANALYZERS
+
+    cfg = ANALYZERS[name]
+    src = "lower(text)" if cfg.lowercase else "text"
+    # duckdb regex dialect accepts the same split patterns (\s, char
+    # classes); SQL string literals don't escape backslashes, so the
+    # pattern is embedded verbatim
+    expr = f"list_filter(regexp_split_to_array({src}, '{cfg.split_pattern}'), x -> x <> '')"
+    if cfg.stopwords:
+        stop_in = ", ".join(f"'{s}'" for s in cfg.stopwords)
+        expr = f"list_filter({expr}, x -> x NOT IN ({stop_in}))"
+    if cfg.strip_plural_s:
+        expr = (
+            f"list_transform({expr}, x -> CASE WHEN length(x) > 3 AND x LIKE '%s' "
+            f"THEN left(x, length(x) - 1) ELSE x END)"
+        )
+    return expr
+
+
+def _analyzer_family_sql() -> str:
+    from audioflux_spark.config import ANALYZERS
+
+    branches = "\n  UNION ALL\n  ".join(
+        f"SELECT '{name}' AS analyzer, unnest({_analyzer_sql_expr(name)}) AS term FROM documents"
+        for name in sorted(ANALYZERS)
+    )
+    return f"""
+WITH allt AS (
+  {branches}
+)
+SELECT analyzer, count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms
+FROM allt GROUP BY analyzer ORDER BY analyzer
 """
 
 
@@ -1635,24 +1752,7 @@ SELECT doc_id,
             ELSE 0 END) * 1000000) AS BIGINT) AS kurt_e6
 FROM cm ORDER BY doc_id
 """,
-        "analyzer_family": """
-WITH
-a1 AS (SELECT 'alnum_cased' AS analyzer,
-              unnest(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9_]+'), x -> x <> '')) AS term
-       FROM documents),
-a2 AS (SELECT 'lower_whitespace' AS analyzer,
-              unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
-       FROM documents),
-a3 AS (SELECT 'standard' AS analyzer,
-              unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
-       FROM documents),
-a4 AS (SELECT 'whitespace' AS analyzer,
-              unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS term
-       FROM documents),
-allt AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
-SELECT analyzer, count(*) AS total_tokens, count(DISTINCT term) AS distinct_terms
-FROM allt GROUP BY analyzer ORDER BY analyzer
-""",
+        "analyzer_family": _analyzer_family_sql(),
         "ngram_multires": """
 WITH toks AS (
   SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
@@ -1704,6 +1804,47 @@ SELECT doc_id,
        CAST(ROUND(hfc * 1000000) AS BIGINT) AS hfc_e6,
        CAST(ROUND(coalesce(dec_num / dec_den, 0) * 1000000) AS BIGINT) AS decrease_e6
 FROM agg ORDER BY doc_id
+""",
+        "doc_rolloff": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) AS k,
+         sum(w) OVER (PARTITION BY doc_id ORDER BY term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tf
+),
+tot AS (SELECT doc_id, sum(w) AS tot, count(*) AS n_terms FROM tf GROUP BY doc_id)
+SELECT r.doc_id,
+       CAST(min(r.k) AS BIGINT) AS rolloff_k,
+       t.n_terms,
+       CAST(ROUND(min(r.k)::DOUBLE / t.n_terms * 1000000) AS BIGINT) AS rolloff_frac_e6
+FROM ranked r JOIN tot t USING (doc_id)
+WHERE r.cum >= 0.85 * t.tot
+GROUP BY r.doc_id, t.n_terms ORDER BY r.doc_id
+""",
+        "events_yin_trough": """
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
+x AS (
+  SELECT user_id, event_id, value, t,
+         lag(value)  OVER w AS prev,
+         lead(value) OVER w AS next,
+         (min(value) OVER (PARTITION BY user_id)
+          + max(value) OVER (PARTITION BY user_id)) / 2 AS thresh
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+tr AS (
+  SELECT user_id, event_id, value, t,
+         row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+  FROM x
+  WHERE prev IS NOT NULL AND next IS NOT NULL
+    AND value < prev AND value < next AND value < thresh
+)
+SELECT user_id, event_id AS trough_event_id,
+       CAST(ROUND(value * 1000000) AS BIGINT) AS trough_value_e6,
+       t AS trough_t
+FROM tr WHERE rn = 1 ORDER BY user_id
 """,
         "events_mkl": """
 WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
@@ -1792,6 +1933,8 @@ def queries():
         "events_rollup_pyramid": q_events_rollup_pyramid,
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
+        "doc_rolloff": q_doc_rolloff,
+        "events_yin_trough": q_events_yin_trough,
         "events_hourly_entropy": q_events_hourly_entropy,
     }
 

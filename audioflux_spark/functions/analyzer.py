@@ -29,19 +29,36 @@ _TOKEN_RE = re.compile(DEFAULT.analyzer.token_pattern)
 
 
 def tokens_col(text: Column | str, cfg: AnalyzerConfig = DEFAULT.analyzer) -> Column:
-    """array<string> of tokens, computed entirely JVM-side."""
+    """array<string> of tokens, computed entirely JVM-side. Post-split
+    filters (stopwords, then the plural s-stemmer) run as higher-order array
+    functions — still whole-stage codegen, no Python."""
     c = F.col(text) if isinstance(text, str) else text
     if cfg.lowercase:
         c = F.lower(c)
     arr = F.split(c, cfg.split_pattern)
-    return F.filter(arr, lambda t: t != F.lit(""))
+    arr = F.filter(arr, lambda t: t != F.lit(""))
+    if cfg.stopwords:
+        sw = F.array(*[F.lit(s) for s in cfg.stopwords])
+        arr = F.filter(arr, lambda t: ~F.array_contains(sw, t))
+    if cfg.strip_plural_s:
+        arr = F.transform(
+            arr,
+            lambda t: F.when(
+                (F.length(t) > 3) & t.endswith("s"),
+                t.substr(F.lit(1), F.length(t) - 1),
+            ).otherwise(t),
+        )
+    return arr
 
 
 def doc_len_col(text: Column | str, cfg: AnalyzerConfig = DEFAULT.analyzer) -> Column:
     """Token count per row, JVM-side. regexp_count avoids materializing the
     token array — ~4x faster than size(filter(split(...))) (measured), same
     result by construction (count of keep-pattern matches == count of
-    non-empty split fields)."""
+    non-empty split fields). Stopword analyzers change the count, so they
+    fall back to sizing the real token array (stemming preserves count)."""
+    if cfg.stopwords:
+        return F.size(tokens_col(text, cfg))
     c = F.col(text) if isinstance(text, str) else text
     if cfg.lowercase:
         c = F.lower(c)
@@ -57,4 +74,17 @@ def tokenize_series(
     s = texts.fillna("")
     if cfg.lowercase:
         s = s.str.lower()
-    return s.str.findall(pattern)
+    toks = s.str.findall(pattern)
+    if cfg.stopwords or cfg.strip_plural_s:
+        # post-filters run per-list (cold analyzer variants only — the
+        # DEFAULT hot-path analyzer has neither and stays fully vectorized)
+        stop = set(cfg.stopwords)
+
+        def _post(lst):
+            out = [w for w in lst if w not in stop]
+            if cfg.strip_plural_s:
+                out = [w[:-1] if len(w) > 3 and w.endswith("s") else w for w in out]
+            return out
+
+        toks = toks.apply(_post)
+    return toks

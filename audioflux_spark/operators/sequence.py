@@ -255,6 +255,7 @@ def nmf_topics(
     value_col: str,
     k: int = 4,
     max_iter: int = 60,
+    max_nnz: int = 2_000_000,
 ) -> DataFrame:
     """Per-group NMF over a sparse (row, col, value) matrix — e.g. topics per
     corpus slice from the (doc, term, tf) matrix. Groups are independent →
@@ -263,7 +264,16 @@ def nmf_topics(
 
     Output: (group, row_id, topic, weight) — each row's dominant factor
     loading (argmax of W) plus its weight, the engine's topic assignment.
-    """
+
+    Scale bound: applyInPandas materializes a whole group in one task, so a
+    20 TB source slice would otherwise be a task-OOM. Groups whose nnz
+    exceeds ``max_nnz`` are deterministically ROW-sampled BEFORE the group
+    shuffle: a row (and all its cells — whole rows, never holes) survives iff
+    its xxhash64 bucket falls under max_nnz/nnz, giving an expected-max_nnz
+    training sub-matrix that is a pure function of the data. Topics are then
+    reported for the sampled rows (fitting on a bounded sample is the
+    standard factorization move at scale — the same discipline as the IVF
+    coarse-quantizer's bounded trainer sample)."""
 
     def factorize(pdf: pd.DataFrame) -> pd.DataFrame:
         # canonical triplet order: float accumulation (bincount) order becomes
@@ -288,8 +298,18 @@ def nmf_topics(
             }
         )
 
+    from pyspark.sql import functions as F
+
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_nnz"))
+    bounded = df.join(F.broadcast(sizes), group_col)
+    keep_frac = F.when(F.col("_nnz") <= max_nnz, F.lit(1.0)).otherwise(
+        F.lit(float(max_nnz)) / F.col("_nnz")
+    )
+    bucket = F.pmod(F.xxhash64(F.col(row_col)), F.lit(1_000_000)) / F.lit(1_000_000.0)
+    bounded = bounded.filter(bucket < keep_frac).drop("_nnz")
+
     row_t = dict(df.dtypes)[row_col]
-    return df.groupBy(group_col).applyInPandas(
+    return bounded.groupBy(group_col).applyInPandas(
         factorize,
         schema=f"group {dict(df.dtypes)[group_col]}, row_id {row_t}, topic int, weight double",
     )
