@@ -1113,6 +1113,67 @@ def q_doc_tf_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_events_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-II of each event type's hourly activity series, first 4
+    coefficients — the reference's frequency-transform family
+    (/root/reference/src/dsp/flux_dct.c; dct_algorithm): c_k =
+    Σ_n x_n · cos(π/N · (n+½) · k). The series index comes from a window
+    rank over hour buckets (dense, deterministic); the transform is a
+    grouped weighted sum — a filterbank matmul with cosine weights."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
+    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    j = idx.join(tot, "event_type")
+    pi = F.lit(math.pi)
+    aggs = [
+        _e6(
+            F.sum(
+                F.col("x")
+                * F.cos(pi / F.col("N") * (F.col("i") + F.lit(0.5)) * F.lit(float(k)))
+            )
+        ).alias(f"c{k}_e6")
+        for k in range(4)
+    ]
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def q_doc_cepstrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cepstrum: log-compress the term-rank 'spectrum' (ln(1+tf) at
+    alphabetical term rank) then DCT-II, truncated to 3 coefficients — the
+    reference's xxcc/cepstrogram chain (log → DCT → truncate,
+    /root/reference/src/feature/xxcc_algorithm.c) over the token domain."""
+    import math
+
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w = Window.partitionBy("doc_id").orderBy("term")
+    ranked = tf.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "x", F.log(F.lit(1.0) + F.col("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
+    j = ranked.join(tot, "doc_id")
+    pi = F.lit(math.pi)
+    aggs = [
+        _e6(
+            F.sum(
+                F.col("x")
+                * F.cos(pi / F.col("M") * (F.col("i") + F.lit(0.5)) * F.lit(float(k)))
+            )
+        ).alias(f"c{k}_e6")
+        for k in range(3)
+    ]
+    return j.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
 def q_doc_rolloff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc rolloff over the term axis — the reference's spectral rolloff
     (/root/reference/src/feature/spectral_algorithm.c:282: smallest bin whose
@@ -1805,6 +1866,39 @@ SELECT doc_id,
        CAST(ROUND(coalesce(dec_num / dec_den, 0) * 1000000) AS BIGINT) AS decrease_e6
 FROM agg ORDER BY doc_id
 """,
+        "events_dct": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i
+  FROM hourly
+),
+tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type)
+SELECT idx.event_type,
+       CAST(ROUND(sum(x * cos(pi() / N * (i + 0.5) * 0)) * 1000000) AS BIGINT) AS c0_e6,
+       CAST(ROUND(sum(x * cos(pi() / N * (i + 0.5) * 1)) * 1000000) AS BIGINT) AS c1_e6,
+       CAST(ROUND(sum(x * cos(pi() / N * (i + 0.5) * 2)) * 1000000) AS BIGINT) AS c2_e6,
+       CAST(ROUND(sum(x * cos(pi() / N * (i + 0.5) * 3)) * 1000000) AS BIGINT) AS c3_e6
+FROM idx JOIN tot USING (event_type)
+GROUP BY idx.event_type ORDER BY idx.event_type
+""",
+        "doc_cepstrum": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, ln(1.0 + tf) AS x,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) - 1 AS i
+  FROM tf
+),
+tot AS (SELECT doc_id, count(*) AS M FROM tf GROUP BY doc_id)
+SELECT ranked.doc_id,
+       CAST(ROUND(sum(x * cos(pi() / M * (i + 0.5) * 0)) * 1000000) AS BIGINT) AS c0_e6,
+       CAST(ROUND(sum(x * cos(pi() / M * (i + 0.5) * 1)) * 1000000) AS BIGINT) AS c1_e6,
+       CAST(ROUND(sum(x * cos(pi() / M * (i + 0.5) * 2)) * 1000000) AS BIGINT) AS c2_e6
+FROM ranked JOIN tot USING (doc_id)
+GROUP BY ranked.doc_id ORDER BY ranked.doc_id
+""",
         "doc_rolloff": f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS w FROM tok GROUP BY doc_id, term),
@@ -1933,6 +2027,8 @@ def queries():
         "events_rollup_pyramid": q_events_rollup_pyramid,
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
+        "events_dct": q_events_dct,
+        "doc_cepstrum": q_doc_cepstrum,
         "doc_rolloff": q_doc_rolloff,
         "events_yin_trough": q_events_yin_trough,
         "events_hourly_entropy": q_events_hourly_entropy,
