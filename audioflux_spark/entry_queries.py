@@ -839,6 +839,81 @@ def q_events_delta_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event series onto a uniform 30-min grid
+    with sample-and-hold (previous value carries) — the reference's Resample
+    (/root/reference/src/dsp/resample_algorithm.c) as the classic AS-OF JOIN:
+    each grid point takes the last event at-or-before it.
+
+    Plan shape (scales, no per-row Python): union the grid points (null
+    value) with the events, one window pass of last(value, ignorenulls) in
+    (t, src, event_id) order — an as-of join without a join, linear in
+    events + grid points and partitioned by user."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    STEP = 1800
+    rng = ev.groupBy("user_id").agg(F.min("t").alias("mn"), F.max("t").alias("mx"))
+    grid = (
+        rng.select(
+            "user_id",
+            ((F.col("mn") + STEP - 1) / STEP).cast("long").alias("g0"),
+            (F.col("mx") / STEP).cast("long").alias("g1"),
+        )
+        .filter(F.col("g0") <= F.col("g1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("g0") * STEP, F.col("g1") * STEP, F.lit(STEP))).alias("t"),
+        )
+        .select(
+            "user_id", "t",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(1).alias("src"),
+        )
+    )
+    pts = ev.select(
+        "user_id", "t", "value", F.col("event_id").cast("long"), F.lit(0).alias("src")
+    ).unionByName(grid)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "src", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("held", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+        .select("user_id", F.col("t").alias("grid_t"), _e6(F.col("held")).alias("value_e6"))
+        .orderBy("user_id", "grid_t")
+    )
+
+
+FIR_TAPS = (1.0, 2.0, 3.0, 2.0, 1.0)  # normalized by sum below
+
+
+def q_events_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit FIR convolution over each user's event series: y_t =
+    Σ_j h_j·x_{t−j} with the 5-tap smoothing kernel (1,2,3,2,1)/9 — the
+    reference's conv/FIR utilities (/root/reference/src/dsp/fir_algorithm.c)
+    as a weighted lag window; emitted only where the full support exists
+    (same-length 'valid' mode)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    norm = sum(FIR_TAPS)
+    y = sum(
+        F.lit(h / norm) * F.lag("value", j).over(w)
+        for j, h in enumerate(FIR_TAPS)
+    )
+    return (
+        ev.select("event_id", y.alias("y"))
+        .filter(F.col("y").isNotNull())
+        .select("event_id", _e6(F.col("y")).alias("fir_e6"))
+        .orderBy("event_id")
+    )
+
+
 def q_viterbi_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Viterbi decoding of event values under a fixed 2-state
     Gaussian HMM (/root/reference/src/classic/viterbi.c analog). Iterative DP
@@ -1866,6 +1941,40 @@ SELECT doc_id,
        CAST(ROUND(coalesce(dec_num / dec_den, 0) * 1000000) AS BIGINT) AS decrease_e6
 FROM agg ORDER BY doc_id
 """,
+        "events_resample": """
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
+rng AS (SELECT user_id, min(t) AS mn, max(t) AS mx FROM e GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series((mn + 1799) // 1800 * 1800, mx // 1800 * 1800, 1800)) AS t
+  FROM rng WHERE (mn + 1799) // 1800 <= mx // 1800
+),
+pts AS (
+  SELECT user_id, t, value, event_id, 0 AS src FROM e
+  UNION ALL
+  SELECT user_id, t, NULL::DOUBLE AS value, NULL::BIGINT AS event_id, 1 AS src FROM grid
+),
+held AS (
+  SELECT user_id, t, src,
+         last_value(value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, src, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS held
+  FROM pts
+)
+SELECT user_id, t AS grid_t, CAST(ROUND(held * 1000000) AS BIGINT) AS value_e6
+FROM held WHERE src = 1 ORDER BY user_id, grid_t
+""",
+        "events_fir": """
+WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),
+y AS (
+  SELECT event_id,
+         (1.0/9) * lag(value, 0) OVER w + (2.0/9) * lag(value, 1) OVER w
+       + (3.0/9) * lag(value, 2) OVER w + (2.0/9) * lag(value, 3) OVER w
+       + (1.0/9) * lag(value, 4) OVER w AS y
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT event_id, CAST(ROUND(y * 1000000) AS BIGINT) AS fir_e6
+FROM y WHERE y IS NOT NULL ORDER BY event_id
+""",
         "events_dct": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
@@ -2027,6 +2136,8 @@ def queries():
         "events_rollup_pyramid": q_events_rollup_pyramid,
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
+        "events_resample": q_events_resample,
+        "events_fir": q_events_fir,
         "events_dct": q_events_dct,
         "doc_cepstrum": q_doc_cepstrum,
         "doc_rolloff": q_doc_rolloff,
