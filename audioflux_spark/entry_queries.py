@@ -1220,6 +1220,167 @@ def q_events_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def q_events_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT of each event type's hourly activity series at probe bins k=1..3 —
+    the reference's DFT/Goertzel single-bin transforms
+    (/root/reference/src/dsp/flux_dft.c; Goertzel evaluates one DFT bin
+    without the full transform): re_k = Σ x_i·cos(2πki/N),
+    im_k = Σ x_i·sin(2πki/N). Same grouped-weighted-sum plan shape as the
+    DCT query — one scan, one aggregation, no shuffle beyond the groupBy."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
+    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    j = idx.join(tot, "event_type")
+    two_pi = F.lit(2.0 * math.pi)
+    aggs = []
+    for k in (1, 2, 3):
+        ang = two_pi * F.lit(float(k)) * F.col("i") / F.col("N")
+        aggs.append(_e6(F.sum(F.col("x") * F.cos(ang))).alias(f"re{k}_e6"))
+        aggs.append(_e6(F.sum(F.col("x") * F.sin(ang))).alias(f"im{k}_e6"))
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+def q_doc_hps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic-product-spectrum pitch picker over the token domain — the
+    reference's PitchHPS (/root/reference/src/mir/_pitch_hps.c: multiply the
+    spectrum with its 2×/3× downsampled copies, take the argmax bin). Here
+    the 'spectrum' is tf at frequency-rank r (terms ranked tf desc, term asc)
+    and the product is taken in the log domain: L_k = Σ_{h=1..3} ln(s_{hk}),
+    pitch = argmax_k L_k (e6-rounded before ranking so both engines break
+    near-ties identically, smallest k wins). Plan: one tf aggregation, one
+    rank window, two self-equi-joins on (doc_id, rank) — all co-partitioned
+    on doc_id, no broadcast of anything unbounded."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w)).select(
+        "doc_id", "r", F.log("s").alias("ls")
+    )
+    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
+    cand = (
+        ranked.join(tot, "doc_id")
+        .filter(F.col("r") * 3 <= F.col("M"))
+        .select("doc_id", F.col("r").alias("k"), F.col("ls").alias("l1"))
+    )
+    h2 = ranked.select(
+        F.col("doc_id").alias("d2"), F.col("r").alias("r2"), F.col("ls").alias("l2")
+    )
+    h3 = ranked.select(
+        F.col("doc_id").alias("d3"), F.col("r").alias("r3"), F.col("ls").alias("l3")
+    )
+    hps = (
+        cand.join(h2, (F.col("doc_id") == F.col("d2")) & (F.col("r2") == F.col("k") * 2))
+        .join(h3, (F.col("doc_id") == F.col("d3")) & (F.col("r3") == F.col("k") * 3))
+        .select(
+            "doc_id",
+            "k",
+            _e6(F.col("l1") + F.col("l2") + F.col("l3")).alias("hps_log_e6"),
+        )
+    )
+    pick = Window.partitionBy("doc_id").orderBy(F.desc("hps_log_e6"), "k")
+    return (
+        hps.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("k").cast("long").alias("pitch_k"), "hps_log_e6")
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_envelope_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cepstral deconvolution — the reference's deconv feature
+    (/root/reference/src/feature/deconv_algorithm.c: split a spectrum into a
+    smooth envelope and an excitation residue via the cepstrum). Per doc:
+    log-spectrum x_i = ln(1+tf) at alphabetical term rank i; forward DCT-II
+    keeps Q=3 coefficients; the envelope is their DCT-III reconstruction
+    e_i = c_0/M + (2/M)·Σ_{k=1..Q-1} c_k·cos(πk(i+½)/M); residue = x − e.
+    Emitted as per-doc envelope/residue energies. Two aggregations over one
+    tokenize scan, joined back on doc_id — co-partitioned, linear."""
+    import math
+
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w = Window.partitionBy("doc_id").orderBy("term")
+    ranked = tf.withColumn("i", F.row_number().over(w) - 1).withColumn(
+        "x", F.log(F.lit(1.0) + F.col("tf"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
+    j = ranked.join(tot, "doc_id")
+    pi = F.lit(math.pi)
+    ceps = j.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("x")
+                * F.cos(pi / F.col("M") * (F.col("i") + F.lit(0.5)) * F.lit(float(k)))
+            ).alias(f"c{k}")
+            for k in range(3)
+        ]
+    )
+    env = (
+        F.col("c0") / F.col("M")
+        + (F.lit(2.0) / F.col("M"))
+        * (
+            F.col("c1") * F.cos(pi * F.lit(1.0) * (F.col("i") + F.lit(0.5)) / F.col("M"))
+            + F.col("c2") * F.cos(pi * F.lit(2.0) * (F.col("i") + F.lit(0.5)) / F.col("M"))
+        )
+    )
+    rows = j.join(ceps, "doc_id").withColumn("e", env).withColumn(
+        "res", F.col("x") - F.col("e")
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            _e6(F.sum(F.col("e") * F.col("e"))).alias("env_energy_e6"),
+            _e6(F.sum(F.col("res") * F.col("res"))).alias("res_energy_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_events_cepstrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cepstrogram — the reference's framed cepstrum
+    (/root/reference/src/feature/xxcc_algorithm.c cepstrogram path: one
+    cepstrum per STFT frame). Frame = (event_type, UTC day); spectrum =
+    ln(1+count) over the 24 hour-of-day bins (fixed N=24, so no rank window
+    is needed and absent hours contribute exactly 0); DCT-II truncated to 3
+    quefrency coefficients per frame. One scan, one groupBy — partial
+    aggregation map-side, scales linearly in events."""
+    import math
+
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type",
+        F.floor(_epoch_ntz("ts") / 86400).alias("day"),
+        F.floor((_epoch_ntz("ts") % 86400) / 3600).alias("h"),
+    )
+    hourly = e.groupBy("event_type", "day", "h").agg(
+        F.log(F.lit(1.0) + F.count(F.lit(1))).alias("x")
+    )
+    pi = F.lit(math.pi)
+    aggs = [
+        _e6(
+            F.sum(
+                F.col("x")
+                * F.cos(pi / F.lit(24.0) * (F.col("h") + F.lit(0.5)) * F.lit(float(k)))
+            )
+        ).alias(f"c{k}_e6")
+        for k in range(3)
+    ]
+    return (
+        hourly.groupBy("event_type", "day")
+        .agg(*aggs)
+        .orderBy("event_type", "day")
+    )
+
+
 def q_doc_cepstrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cepstrum: log-compress the term-rank 'spectrum' (ln(1+tf) at
     alphabetical term rank) then DCT-II, truncated to 3 coefficients — the
@@ -1992,6 +2153,99 @@ SELECT idx.event_type,
 FROM idx JOIN tot USING (event_type)
 GROUP BY idx.event_type ORDER BY idx.event_type
 """,
+        "events_goertzel": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i
+  FROM hourly
+),
+tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type)
+SELECT idx.event_type,
+       CAST(ROUND(sum(x * cos(2 * pi() * 1 * i / N)) * 1000000) AS BIGINT) AS re1_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 1 * i / N)) * 1000000) AS BIGINT) AS im1_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 2 * i / N)) * 1000000) AS BIGINT) AS re2_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 2 * i / N)) * 1000000) AS BIGINT) AS im2_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 3 * i / N)) * 1000000) AS BIGINT) AS re3_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 3 * i / N)) * 1000000) AS BIGINT) AS im3_e6
+FROM idx JOIN tot USING (event_type)
+GROUP BY idx.event_type ORDER BY idx.event_type
+""",
+        "doc_hps": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS s FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, ln(s) AS ls,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS r
+  FROM tf
+),
+tot AS (SELECT doc_id, count(*) AS M FROM tf GROUP BY doc_id),
+cand AS (
+  SELECT ranked.doc_id, r AS k, ls AS l1
+  FROM ranked JOIN tot USING (doc_id) WHERE r * 3 <= M
+),
+hps AS (
+  SELECT c.doc_id, c.k,
+         CAST(ROUND((c.l1 + h2.ls + h3.ls) * 1000000) AS BIGINT) AS hps_log_e6
+  FROM cand c
+  JOIN ranked h2 ON h2.doc_id = c.doc_id AND h2.r = c.k * 2
+  JOIN ranked h3 ON h3.doc_id = c.doc_id AND h3.r = c.k * 3
+),
+pick AS (
+  SELECT doc_id, k, hps_log_e6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY hps_log_e6 DESC, k) AS rn
+  FROM hps
+)
+SELECT doc_id, CAST(k AS BIGINT) AS pitch_k, hps_log_e6
+FROM pick WHERE rn = 1 ORDER BY doc_id
+""",
+        "doc_envelope_residue": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, ln(1.0 + tf) AS x,
+         row_number() OVER (PARTITION BY doc_id ORDER BY term) - 1 AS i
+  FROM tf
+),
+tot AS (SELECT doc_id, count(*) AS M FROM tf GROUP BY doc_id),
+j AS (SELECT * FROM ranked JOIN tot USING (doc_id)),
+ceps AS (
+  SELECT doc_id,
+         sum(x * cos(pi() / M * (i + 0.5) * 0)) AS c0,
+         sum(x * cos(pi() / M * (i + 0.5) * 1)) AS c1,
+         sum(x * cos(pi() / M * (i + 0.5) * 2)) AS c2
+  FROM j GROUP BY doc_id
+),
+rows_e AS (
+  SELECT j.doc_id, j.x,
+         c0 / M + (2.0 / M) * (c1 * cos(pi() * 1 * (i + 0.5) / M)
+                             + c2 * cos(pi() * 2 * (i + 0.5) / M)) AS e
+  FROM j JOIN ceps USING (doc_id)
+)
+SELECT doc_id,
+       CAST(ROUND(sum(e * e) * 1000000) AS BIGINT) AS env_energy_e6,
+       CAST(ROUND(sum((x - e) * (x - e)) * 1000000) AS BIGINT) AS res_energy_e6
+FROM rows_e GROUP BY doc_id ORDER BY doc_id
+""",
+        "events_cepstrogram": """
+WITH e AS (
+  SELECT event_type,
+         floor(epoch(ts))::BIGINT // 86400 AS day,
+         (floor(epoch(ts))::BIGINT % 86400) // 3600 AS h
+  FROM events
+),
+hourly AS (
+  SELECT event_type, day, h, ln(1.0 + count(*)) AS x
+  FROM e GROUP BY event_type, day, h
+)
+SELECT event_type, day,
+       CAST(ROUND(sum(x * cos(pi() / 24 * (h + 0.5) * 0)) * 1000000) AS BIGINT) AS c0_e6,
+       CAST(ROUND(sum(x * cos(pi() / 24 * (h + 0.5) * 1)) * 1000000) AS BIGINT) AS c1_e6,
+       CAST(ROUND(sum(x * cos(pi() / 24 * (h + 0.5) * 2)) * 1000000) AS BIGINT) AS c2_e6
+FROM hourly GROUP BY event_type, day ORDER BY event_type, day
+""",
         "doc_cepstrum": f"""
 WITH tok AS ({_TOK_SQL}),
 tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY doc_id, term),
@@ -2139,6 +2393,10 @@ def queries():
         "events_resample": q_events_resample,
         "events_fir": q_events_fir,
         "events_dct": q_events_dct,
+        "events_goertzel": q_events_goertzel,
+        "events_cepstrogram": q_events_cepstrogram,
+        "doc_hps": q_doc_hps,
+        "doc_envelope_residue": q_doc_envelope_residue,
         "doc_cepstrum": q_doc_cepstrum,
         "doc_rolloff": q_doc_rolloff,
         "events_yin_trough": q_events_yin_trough,
