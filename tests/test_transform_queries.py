@@ -1,0 +1,105 @@
+"""Analytic invariants for the transform/DSP-analog entry queries.
+
+Each test synthesizes a tiny events/documents parquet pair with a closed-form
+answer (the reference validates its transforms the same way — pure tones and
+constant signals with known spectra, e.g. chirp fixtures in
+/root/reference/python/audioflux/utils) and checks the query output exactly
+(e6 fixed-point). The DuckDB driver oracle covers cross-engine agreement on
+the real tables; these tests pin the MATH.
+"""
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from audioflux_spark import entry_queries as eq
+
+
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory):
+    """A minimal sf-dir: one user's regular event series + crafted docs."""
+    d = tmp_path_factory.mktemp("tiny_sf")
+    base = 1_700_000_000 - (1_700_000_000 % 86400)  # UTC midnight
+    rows = []
+    # user 0: one event per hour for 24 hours, constant value 5.0 (type "a")
+    for h in range(24):
+        rows.append((h, base + h * 3600, 0, "a", 5.0, "{}"))
+    # user 1: two events 90 min apart so the 30-min grid has interior points
+    rows.append((100, base + 0, 1, "b", 2.0, "{}"))
+    rows.append((101, base + 5400, 1, "b", 8.0, "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # microsecond precision: Spark 4 rejects pandas' default TIMESTAMP(NANOS)
+    ev["ts"] = pd.to_datetime(ev["ts"], unit="s").astype("datetime64[us]")
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            # doc 0: tf spectrum 8,4,2,1,1,1 -> HPS argmax at k=1 with
+            #        L_1 = ln8+ln4+ln2 = ln64
+            "text": [
+                "a a a a a a a a b b b b c c d e f",
+                # doc 1: every term once -> flat log-spectrum -> zero residue
+                "alpha beta gamma delta epsilon zeta",
+            ],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    return str(d)
+
+
+def test_fir_constant_series_is_identity(spark, tiny_dir):
+    # y = conv(x, h)/sum(h): a constant series must pass through unchanged
+    out = eq.q_events_fir(spark, tiny_dir).toPandas()
+    u0 = out[out.event_id < 100]
+    assert len(u0) == 24 - 4  # 'valid' mode drops the first 4 frames
+    assert (u0.fir_e6 == 5_000_000).all()
+
+
+def test_resample_sample_and_hold(spark, tiny_dir):
+    out = eq.q_events_resample(spark, tiny_dir).toPandas()
+    u1 = out[out.user_id == 1].sort_values("grid_t")
+    # grid spans [t0, t0+5400] at 1800 s: 4 points; hold 2.0 until the
+    # 8.0 event lands exactly on the last grid point
+    assert list(u1.value_e6) == [2_000_000, 2_000_000, 2_000_000, 8_000_000]
+
+
+def test_goertzel_flat_series_has_zero_ac_bins(spark, tiny_dir):
+    # 1 event/hour for 24 h -> x_i = 1: every k>=1 DFT bin sums a full
+    # complex exponential period = 0
+    out = eq.q_events_goertzel(spark, tiny_dir).toPandas()
+    row = out[out.event_type == "a"].iloc[0]
+    for c in ("re1_e6", "im1_e6", "re2_e6", "im2_e6", "re3_e6", "im3_e6"):
+        assert abs(int(row[c])) <= 1  # e6 rounding of ~1e-10 residuals
+
+
+def test_cepstrogram_flat_frame_is_dc_only(spark, tiny_dir):
+    out = eq.q_events_cepstrogram(spark, tiny_dir).toPandas()
+    row = out[out.event_type == "a"].iloc[0]
+    assert int(row.c0_e6) == round(24 * math.log(2.0) * 1e6)
+    assert abs(int(row.c1_e6)) <= 1 and abs(int(row.c2_e6)) <= 1
+
+
+def test_envelope_residue_flat_spectrum_has_zero_residue(spark, tiny_dir):
+    out = eq.q_doc_envelope_residue(spark, tiny_dir).toPandas()
+    row = out[out.doc_id == 1].iloc[0]
+    # x_i = ln 2 constant -> the Q=3 envelope reproduces it exactly
+    assert int(row.res_energy_e6) == 0
+    assert int(row.env_energy_e6) == round(6 * math.log(2.0) ** 2 * 1e6)
+
+
+def test_hps_picks_fundamental(spark, tiny_dir):
+    out = eq.q_doc_hps(spark, tiny_dir).toPandas()
+    row = out[out.doc_id == 0].iloc[0]
+    assert int(row.pitch_k) == 1
+    assert int(row.hps_log_e6) == round(math.log(64.0) * 1e6)
+    # doc 1 has 6 distinct terms -> k in {1,2} candidates exist, all ln(1)=0
+    row1 = out[out.doc_id == 1].iloc[0]
+    assert int(row1.pitch_k) == 1 and int(row1.hps_log_e6) == 0
