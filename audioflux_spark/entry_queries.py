@@ -1220,6 +1220,110 @@ def q_events_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def q_doc_tristimulus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tristimulus split of each doc's term spectrum — the reference's trist
+    helpers (/root/reference/src/classic/trist.c, src/mir/_trist3.c:
+    tristimulus = energy share of the 1st harmonic, harmonics 2-4, and the
+    rest). Harmonic rank → tf rank (tf desc, term asc): t1 = s₁/Σs,
+    t2 = (s₂+s₃+s₄)/Σs, t3 = remainder/Σs. One tf aggregation + one rank
+    window + one conditional agg — no joins, scales linearly."""
+    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy("doc_id").agg(
+        F.sum("s").alias("tot"),
+        F.sum(F.when(F.col("r") == 1, F.col("s")).otherwise(0.0)).alias("s1"),
+        F.sum(
+            F.when((F.col("r") >= 2) & (F.col("r") <= 4), F.col("s")).otherwise(0.0)
+        ).alias("s24"),
+    )
+    return agg.select(
+        "doc_id",
+        _e6(F.col("s1") / F.col("tot")).alias("t1_e6"),
+        _e6(F.col("s24") / F.col("tot")).alias("t2_e6"),
+        _e6((F.col("tot") - F.col("s1") - F.col("s24")) / F.col("tot")).alias("t3_e6"),
+    ).orderBy("doc_id")
+
+
+def q_events_reassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time reassignment of the hourly activity spectrogram — the reference's
+    Reassign (/root/reference/src/reassign_algorithm.c:85-188: move each
+    bin's energy to the local phase-derived centroid instead of the bin
+    center). Here each hour-bucket's event count moves to the bucket of its
+    events' mean timestamp; buckets whose mass actually moves are counted as
+    'sharpened'. Integer timestamp sums are exact in doubles (< 2⁵³), so the
+    centroid is bit-identical across engines. Two groupBys, no joins."""
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", _epoch_ntz("ts").alias("t")
+    )
+    buckets = e.groupBy("event_type", F.floor(F.col("t") / 3600).alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("t") / F.count(F.lit(1)) / 3600).alias("r"),
+    )
+    return (
+        buckets.groupBy("event_type", "r")
+        .agg(
+            F.sum("n").alias("mass"),
+            F.sum(F.when(F.col("r") != F.col("h"), F.lit(1)).otherwise(0)).alias(
+                "moved_bins"
+            ),
+        )
+        .orderBy("event_type", "r")
+    )
+
+
+_SCALOGRAM_SCALES = (1, 2, 4)  # triangular-kernel half-widths, in hour bins
+
+
+def q_events_scalogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-scale scalogram energy — the reference's CWT/scalogram family
+    (/root/reference/src/cwt_algorithm.c: convolve the signal with dilated
+    wavelets, one output row per scale). Per event type, the hourly count
+    series is convolved with triangular (Bartlett) kernels of half-width
+    s ∈ {1,2,4} ('valid' support only) and each scale's response energy
+    Σy² is emitted — the scale-energy marginal of the scalogram. Lag/lead
+    windows over one hourly aggregation; linear in events."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    # ONE scan, one window pass: every scale's response is a column of the
+    # same row, then explode(array(struct)) stacks (scale, y) — no unions,
+    # no repeated corpus reads (the round-2 N-pass-family lesson).
+    ycols = []
+    for s in _SCALOGRAM_SCALES:
+        y = None
+        for j in range(-s, s + 1):
+            wt = 1.0 - abs(j) / (s + 1.0)  # Bartlett kernel, peak 1 at j=0
+            col = F.lag("x", j).over(w) if j >= 0 else F.lead("x", -j).over(w)
+            term = F.lit(wt) * col
+            y = term if y is None else y + term
+        ycols.append(y.alias(f"y{s}"))
+    resp = hourly.select("event_type", *ycols)  # window exprs need a plain select
+    ys = [
+        F.struct(F.lit(s).cast("long").alias("scale"), F.col(f"y{s}").alias("y"))
+        for s in _SCALOGRAM_SCALES
+    ]
+    stacked = (
+        resp.select("event_type", F.explode(F.array(*ys)).alias("z"))
+        .select("event_type", F.col("z.scale").alias("scale"), F.col("z.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+    )
+    return (
+        stacked.groupBy("event_type", "scale")
+        .agg(
+            _e6(F.sum(F.col("y") * F.col("y"))).alias("energy_e6"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .orderBy("event_type", "scale")
+    )
+
+
 def q_events_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DFT of each event type's hourly activity series at probe bins k=1..3 —
     the reference's DFT/Goertzel single-bin transforms
@@ -2153,6 +2257,69 @@ SELECT idx.event_type,
 FROM idx JOIN tot USING (event_type)
 GROUP BY idx.event_type ORDER BY idx.event_type
 """,
+        "doc_tristimulus": f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS s FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS r
+  FROM tf
+),
+agg AS (
+  SELECT doc_id,
+         sum(s) AS tot,
+         sum(CASE WHEN r = 1 THEN s ELSE 0.0 END) AS s1,
+         sum(CASE WHEN r BETWEEN 2 AND 4 THEN s ELSE 0.0 END) AS s24
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(ROUND(s1 / tot * 1000000) AS BIGINT) AS t1_e6,
+       CAST(ROUND(s24 / tot * 1000000) AS BIGINT) AS t2_e6,
+       CAST(ROUND((tot - s1 - s24) / tot * 1000000) AS BIGINT) AS t3_e6
+FROM agg ORDER BY doc_id
+""",
+        "events_reassign": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT AS t FROM events),
+buckets AS (
+  SELECT event_type, t // 3600 AS h, count(*) AS n,
+         CAST(floor(sum(t) / count(*) / 3600) AS BIGINT) AS r
+  FROM e GROUP BY event_type, t // 3600
+)
+SELECT event_type, r,
+       CAST(sum(n) AS BIGINT) AS mass,
+       CAST(sum(CASE WHEN r <> h THEN 1 ELSE 0 END) AS BIGINT) AS moved_bins
+FROM buckets GROUP BY event_type, r ORDER BY event_type, r
+""",
+        "events_scalogram": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),",
+             "resp AS (",
+             "  SELECT event_type,"]
+            + [
+                "         "
+                + " + ".join(
+                    f"{1.0 - abs(j) / (s + 1.0)!r} * "
+                    + (f"lag(x, {j}) OVER w" if j >= 0 else f"lead(x, {-j}) OVER w")
+                    for j in range(-s, s + 1)
+                )
+                + f" AS y{s},"
+                for s in _SCALOGRAM_SCALES
+            ]
+            + ["         1 AS _d",
+               "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)",
+               "),",
+               "stacked AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, {s} AS scale, y{s} AS y FROM resp WHERE y{s} IS NOT NULL"
+                   for s in _SCALOGRAM_SCALES
+               ),
+               ")",
+               "SELECT event_type, CAST(scale AS BIGINT) AS scale,",
+               "       CAST(ROUND(sum(y * y) * 1000000) AS BIGINT) AS energy_e6,",
+               "       count(*) AS n_frames",
+               "FROM stacked GROUP BY event_type, scale ORDER BY event_type, scale"]
+        ),
         "events_goertzel": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
@@ -2394,6 +2561,9 @@ def queries():
         "events_fir": q_events_fir,
         "events_dct": q_events_dct,
         "events_goertzel": q_events_goertzel,
+        "events_reassign": q_events_reassign,
+        "events_scalogram": q_events_scalogram,
+        "doc_tristimulus": q_doc_tristimulus,
         "events_cepstrogram": q_events_cepstrogram,
         "doc_hps": q_doc_hps,
         "doc_envelope_residue": q_doc_envelope_residue,
