@@ -27,9 +27,14 @@ class AnalyzerConfig:
     split_pattern: str = "[^a-z0-9_]+"
     # post-split filters (applied in this order, matching the SQL twins):
     # 1. drop stopwords; 2. naive plural stemmer (strip trailing 's' from
-    # tokens longer than 3 chars — the classic "s-stemmer", Harman 1991)
+    # tokens longer than 3 chars — the classic "s-stemmer", Harman 1991);
+    # 3. drop tokens shorter than min_token_len; 4. truncate tokens to
+    # max_token_len chars (a crude prefix-stemmer, like Lucene's
+    # TruncateTokenFilter). 0 = no limit.
     stopwords: tuple[str, ...] = ()
     strip_plural_s: bool = False
+    min_token_len: int = 1
+    max_token_len: int = 0
 
 
 EN_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
@@ -52,6 +57,14 @@ ANALYZERS: dict[str, AnalyzerConfig] = {
     # the two most common real tuning axes: stopword removal and stemming
     "en_stop": AnalyzerConfig(stopwords=EN_STOPWORDS),
     "s_stem": AnalyzerConfig(strip_plural_s=True),
+    # letters only (drops digit runs — the "alpha" tokenizer)
+    "alpha": AnalyzerConfig(token_pattern="[a-z]+", split_pattern="[^a-z]+"),
+    # stopword removal + stemming composed (the usual production pairing)
+    "en_stop_stem": AnalyzerConfig(stopwords=EN_STOPWORDS, strip_plural_s=True),
+    # drop 1-char tokens (noise filter)
+    "min_len2": AnalyzerConfig(min_token_len=2),
+    # prefix-truncate at 8 chars (crude stemmer / vocab cap)
+    "trunc8": AnalyzerConfig(max_token_len=8),
 }
 
 

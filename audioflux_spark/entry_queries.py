@@ -1774,6 +1774,10 @@ def _analyzer_sql_expr(name: str) -> str:
             f"list_transform({expr}, x -> CASE WHEN length(x) > 3 AND x LIKE '%s' "
             f"THEN left(x, length(x) - 1) ELSE x END)"
         )
+    if cfg.min_token_len > 1:
+        expr = f"list_filter({expr}, x -> length(x) >= {cfg.min_token_len})"
+    if cfg.max_token_len:
+        expr = f"list_transform({expr}, x -> left(x, {cfg.max_token_len}))"
     return expr
 
 

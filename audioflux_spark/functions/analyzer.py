@@ -48,6 +48,10 @@ def tokens_col(text: Column | str, cfg: AnalyzerConfig = DEFAULT.analyzer) -> Co
                 t.substr(F.lit(1), F.length(t) - 1),
             ).otherwise(t),
         )
+    if cfg.min_token_len > 1:
+        arr = F.filter(arr, lambda t: F.length(t) >= F.lit(cfg.min_token_len))
+    if cfg.max_token_len:
+        arr = F.transform(arr, lambda t: t.substr(F.lit(1), F.lit(cfg.max_token_len)))
     return arr
 
 
@@ -55,9 +59,10 @@ def doc_len_col(text: Column | str, cfg: AnalyzerConfig = DEFAULT.analyzer) -> C
     """Token count per row, JVM-side. regexp_count avoids materializing the
     token array — ~4x faster than size(filter(split(...))) (measured), same
     result by construction (count of keep-pattern matches == count of
-    non-empty split fields). Stopword analyzers change the count, so they
-    fall back to sizing the real token array (stemming preserves count)."""
-    if cfg.stopwords:
+    non-empty split fields). Stopword and min-length analyzers change the
+    count, so they fall back to sizing the real token array (stemming and
+    truncation preserve count)."""
+    if cfg.stopwords or cfg.min_token_len > 1:
         return F.size(tokens_col(text, cfg))
     c = F.col(text) if isinstance(text, str) else text
     if cfg.lowercase:
@@ -75,15 +80,19 @@ def tokenize_series(
     if cfg.lowercase:
         s = s.str.lower()
     toks = s.str.findall(pattern)
-    if cfg.stopwords or cfg.strip_plural_s:
+    if cfg.stopwords or cfg.strip_plural_s or cfg.min_token_len > 1 or cfg.max_token_len:
         # post-filters run per-list (cold analyzer variants only — the
-        # DEFAULT hot-path analyzer has neither and stays fully vectorized)
+        # DEFAULT hot-path analyzer has none and stays fully vectorized)
         stop = set(cfg.stopwords)
 
         def _post(lst):
             out = [w for w in lst if w not in stop]
             if cfg.strip_plural_s:
                 out = [w[:-1] if len(w) > 3 and w.endswith("s") else w for w in out]
+            if cfg.min_token_len > 1:
+                out = [w for w in out if len(w) >= cfg.min_token_len]
+            if cfg.max_token_len:
+                out = [w[: cfg.max_token_len] for w in out]
             return out
 
         toks = toks.apply(_post)

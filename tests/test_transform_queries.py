@@ -103,3 +103,34 @@ def test_hps_picks_fundamental(spark, tiny_dir):
     # doc 1 has 6 distinct terms -> k in {1,2} candidates exist, all ln(1)=0
     row1 = out[out.doc_id == 1].iloc[0]
     assert int(row1.pitch_k) == 1 and int(row1.hps_log_e6) == 0
+
+
+def test_analyzer_axes_jvm_pandas_parity(spark):
+    """tokens_col (JVM) and tokenize_series (pandas) must agree on every
+    ANALYZERS preset, including the min-length and truncation axes."""
+    from audioflux_spark.config import ANALYZERS
+    from audioflux_spark.functions.analyzer import (
+        doc_len_col,
+        tokenize_series,
+        tokens_col,
+    )
+
+    texts = [
+        "The CATS sat-on 2 mats, a_b X y12 zzzz!",
+        "supercalifragilistic words words word s ss sss",
+        "",
+    ]
+    pdf = pd.DataFrame({"text": texts})
+    sdf = spark.createDataFrame(pdf)
+    for name, cfg in ANALYZERS.items():
+        jvm = (
+            sdf.select(
+                tokens_col("text", cfg).alias("t"),
+                doc_len_col("text", cfg).alias("n"),
+            )
+            .toPandas()
+        )
+        pdl = tokenize_series(pd.Series(texts), cfg)
+        for i in range(len(texts)):
+            assert list(jvm.t[i]) == list(pdl[i]), (name, i, list(jvm.t[i]), pdl[i])
+            assert int(jvm.n[i]) == len(pdl[i]), (name, i)
