@@ -581,6 +581,40 @@ def _cosine_topk(spark, sf_dir, restrict_label: bool) -> DataFrame:
     )
 
 
+EMB_NEAR_DUP_TAU = 0.30
+
+
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidate pairs: self-join WITHIN the label
+    bucket (the IVF-coarse-bucket analog — never all-pairs across the
+    corpus), exact cosine on candidates, keep pairs ≥ τ. The same
+    candidate-then-verify shape as dedup_lsh_pairs: bucketing bounds the
+    join to Σ|bucket|² instead of N², and the cosine runs JVM-side
+    (zip_with + aggregate, no Python). Scale path: replace `label` with the
+    persisted IVF assignment (operators/ann.py) — identical plan."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+    )
+    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        j.select("vec_id_a", "vec_id_b", _e6(cos).alias("cos_e6"))
+        .filter(F.col("cos_e6") >= int(EMB_NEAR_DUP_TAU * 1e6))
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k vs vec_id=0 (all JVM: zip_with + aggregate)."""
     return _cosine_topk(spark, sf_dir, restrict_label=False)
@@ -2002,6 +2036,19 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
+        "dedup_embedding_pairs": f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_e6 FROM p
+WHERE cos_e6 >= {int(EMB_NEAR_DUP_TAU * 1e6)}
+ORDER BY vec_id_a, vec_id_b
+""",
         "ann_topk_cosine": _cosine_sql(False),
         "ann_ivf_label": _cosine_sql(True),
         "embedding_norms": """
@@ -2535,6 +2582,7 @@ def queries():
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_ivf_label": q_ann_ivf_label,
         "ann_ivf_trained": q_ann_ivf_trained,
