@@ -1393,42 +1393,38 @@ def q_doc_hps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 'spectrum' is tf at frequency-rank r (terms ranked tf desc, term asc)
     and the product is taken in the log domain: L_k = Σ_{h=1..3} ln(s_{hk}),
     pitch = argmax_k L_k (e6-rounded before ranking so both engines break
-    near-ties identically, smallest k wins). Plan: one tf aggregation, one
-    rank window, two self-equi-joins on (doc_id, rank) — all co-partitioned
-    on doc_id, no broadcast of anything unbounded."""
+    near-ties identically, smallest k wins). Plan: one tokenize scan, one tf
+    aggregation, one rank window, then the per-doc spectrum is folded into a
+    bounded array and the harmonic product + argmax run as pure array
+    expressions — no self-joins, nothing re-scanned (a join formulation
+    re-tokenized the corpus 4×; `.explain` caught it)."""
     tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("s")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
-    ranked = tf.withColumn("r", F.row_number().over(w)).select(
-        "doc_id", "r", F.log("s").alias("ls")
+    ranked = tf.withColumn("r", F.row_number().over(w))
+    sp = ranked.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("r"), F.log("s").alias("ls")))
+        ).alias("sp")
     )
-    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
-    cand = (
-        ranked.join(tot, "doc_id")
-        .filter(F.col("r") * 3 <= F.col("M"))
-        .select("doc_id", F.col("r").alias("k"), F.col("ls").alias("l1"))
+    ls = lambda k: F.element_at(F.col("sp"), k)["ls"]  # 1-based rank lookup
+    cand = F.sequence(F.lit(1), (F.size("sp") / 3).cast("int"))
+    hps = F.transform(
+        cand,
+        lambda k: F.struct(
+            F.round((ls(k) + ls(k * 2) + ls(k * 3)) * 1e6).cast("long").alias("L"),
+            (-k).alias("negk"),  # struct max = max L, then max(-k) = min k
+        ),
     )
-    h2 = ranked.select(
-        F.col("doc_id").alias("d2"), F.col("r").alias("r2"), F.col("ls").alias("l2")
-    )
-    h3 = ranked.select(
-        F.col("doc_id").alias("d3"), F.col("r").alias("r3"), F.col("ls").alias("l3")
-    )
-    hps = (
-        cand.join(h2, (F.col("doc_id") == F.col("d2")) & (F.col("r2") == F.col("k") * 2))
-        .join(h3, (F.col("doc_id") == F.col("d3")) & (F.col("r3") == F.col("k") * 3))
+    best = F.array_max(hps)
+    return (
+        sp.filter(F.size("sp") >= 3)
         .select(
             "doc_id",
-            "k",
-            _e6(F.col("l1") + F.col("l2") + F.col("l3")).alias("hps_log_e6"),
+            (-best["negk"]).cast("long").alias("pitch_k"),
+            best["L"].alias("hps_log_e6"),
         )
-    )
-    pick = Window.partitionBy("doc_id").orderBy(F.desc("hps_log_e6"), "k")
-    return (
-        hps.withColumn("rn", F.row_number().over(pick))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("k").cast("long").alias("pitch_k"), "hps_log_e6")
         .orderBy("doc_id")
     )
 
