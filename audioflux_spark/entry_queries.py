@@ -1386,6 +1386,78 @@ def q_events_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def q_events_czt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zoom DFT — the chirp-Z transform's use case
+    (/root/reference/src/dsp/czt_algorithm.c: evaluate the spectrum on a
+    fine grid over a narrow band instead of the N coarse FFT bins). The
+    hourly series is probed at FRACTIONAL bins k ∈ {1.0, 1.25, 1.5, 1.75,
+    2.0} — spacing no plain DFT over the same series offers. Same
+    grouped-weighted-sum plan as the DCT/Goertzel queries: one scan, one
+    aggregation."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
+    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    j = idx.join(tot, "event_type")
+    two_pi = F.lit(2.0 * math.pi)
+    aggs = []
+    for q, k in ((4, 1.0), (5, 1.25), (6, 1.5), (7, 1.75), (8, 2.0)):
+        ang = two_pi * F.lit(k) * F.col("i") / F.col("N")
+        aggs.append(_e6(F.sum(F.col("x") * F.cos(ang))).alias(f"re{q}q_e6"))
+        aggs.append(_e6(F.sum(F.col("x") * F.sin(ang))).alias(f"im{q}q_e6"))
+    return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+_HILBERT_HALF = 4  # FIR quadrature half-width: taps at odd j in [-4, 4]
+
+
+def _hilbert_taps() -> list[tuple[int, float]]:
+    """Antisymmetric FIR Hilbert approximation: h_j = 2/(jπ) for odd j."""
+    import math
+
+    return [
+        (j, 2.0 / (j * math.pi))
+        for j in range(-_HILBERT_HALF, _HILBERT_HALF + 1)
+        if j % 2 != 0
+    ]
+
+
+def q_events_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-signal envelope — the reference's Hilbert transform
+    (/root/reference/src/dsp/hilbert_algorithm.c: quadrature component via
+    90° phase shift, envelope = |x + i·H(x)|), realized as the classic FIR
+    approximation h_j = 2/(jπ) at odd lags: y_t = Σ h_j·x_{t−j},
+    envelope_t = √(x_t² + y_t²). Per-user lag/lead window over one scan,
+    'valid' support only — linear, no joins."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_id", "value", _epoch_ntz("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    y = None
+    for j, h in _hilbert_taps():
+        col = F.lag("value", j).over(w) if j > 0 else F.lead("value", -j).over(w)
+        term = F.lit(h) * col
+        y = term if y is None else y + term
+    env = F.sqrt(F.col("value") * F.col("value") + F.col("y") * F.col("y"))
+    return (
+        ev.withColumn("y", y)
+        .filter(F.col("y").isNotNull())
+        .select(
+            "event_id",
+            _e6(F.col("y")).alias("quad_e6"),
+            _e6(env).alias("env_e6"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_doc_hps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Harmonic-product-spectrum pitch picker over the token domain — the
     reference's PitchHPS (/root/reference/src/mir/_pitch_hps.c: multiply the
@@ -2367,6 +2439,47 @@ FROM buckets GROUP BY event_type, r ORDER BY event_type, r
                "       count(*) AS n_frames",
                "FROM stacked GROUP BY event_type, scale ORDER BY event_type, scale"]
         ),
+        "events_czt": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i
+  FROM hourly
+),
+tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type)
+SELECT idx.event_type,
+       CAST(ROUND(sum(x * cos(2 * pi() * 1.0 * i / N)) * 1000000) AS BIGINT) AS re4q_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 1.0 * i / N)) * 1000000) AS BIGINT) AS im4q_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 1.25 * i / N)) * 1000000) AS BIGINT) AS re5q_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 1.25 * i / N)) * 1000000) AS BIGINT) AS im5q_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 1.5 * i / N)) * 1000000) AS BIGINT) AS re6q_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 1.5 * i / N)) * 1000000) AS BIGINT) AS im6q_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 1.75 * i / N)) * 1000000) AS BIGINT) AS re7q_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 1.75 * i / N)) * 1000000) AS BIGINT) AS im7q_e6,
+       CAST(ROUND(sum(x * cos(2 * pi() * 2.0 * i / N)) * 1000000) AS BIGINT) AS re8q_e6,
+       CAST(ROUND(sum(x * sin(2 * pi() * 2.0 * i / N)) * 1000000) AS BIGINT) AS im8q_e6
+FROM idx JOIN tot USING (event_type)
+GROUP BY idx.event_type ORDER BY idx.event_type
+""",
+        "events_hilbert": "\n".join(
+            ["WITH e AS (SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS t FROM events),",
+             "q AS (",
+             "  SELECT event_id, value,",
+             "         "
+             + " + ".join(
+                 f"{h!r} * "
+                 + (f"lag(value, {j}) OVER w" if j > 0 else f"lead(value, {-j}) OVER w")
+                 for j, h in _hilbert_taps()
+             )
+             + " AS y",
+             "  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)",
+             ")",
+             "SELECT event_id,",
+             "       CAST(ROUND(y * 1000000) AS BIGINT) AS quad_e6,",
+             "       CAST(ROUND(sqrt(value * value + y * y) * 1000000) AS BIGINT) AS env_e6",
+             "FROM q WHERE y IS NOT NULL ORDER BY event_id"]
+        ),
         "events_goertzel": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
@@ -2609,6 +2722,8 @@ def queries():
         "events_fir": q_events_fir,
         "events_dct": q_events_dct,
         "events_goertzel": q_events_goertzel,
+        "events_czt": q_events_czt,
+        "events_hilbert": q_events_hilbert,
         "events_reassign": q_events_reassign,
         "events_scalogram": q_events_scalogram,
         "doc_tristimulus": q_doc_tristimulus,

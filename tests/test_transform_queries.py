@@ -134,3 +134,22 @@ def test_analyzer_axes_jvm_pandas_parity(spark):
         for i in range(len(texts)):
             assert list(jvm.t[i]) == list(pdl[i]), (name, i, list(jvm.t[i]), pdl[i])
             assert int(jvm.n[i]) == len(pdl[i]), (name, i)
+
+
+def test_hilbert_constant_series(spark, tiny_dir):
+    """Antisymmetric FIR taps sum to zero: a constant series has zero
+    quadrature and envelope == |x|."""
+    out = eq.q_events_hilbert(spark, tiny_dir).toPandas()
+    u0 = out[out.event_id < 100]
+    assert len(u0) == 24 - 6  # odd taps reach ±3: drops 3 frames each side
+    assert (u0.quad_e6 == 0).all()
+    assert (u0.env_e6 == 5_000_000).all()
+
+
+def test_czt_integer_bins_vanish_on_flat_series(spark, tiny_dir):
+    """Flat series: integer-k zoom bins (k=1, 2) sum full complex periods
+    to zero; fractional bins need not."""
+    out = eq.q_events_czt(spark, tiny_dir).toPandas()
+    row = out[out.event_type == "a"].iloc[0]
+    for c in ("re4q_e6", "im4q_e6", "re8q_e6", "im8q_e6"):
+        assert abs(int(row[c])) <= 1
