@@ -1386,6 +1386,60 @@ def q_events_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+def q_events_stransform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-transform — frequency-DEPENDENT window width
+    (/root/reference/src/st_algorithm.c; also the NSGT's defining property,
+    nsgt_algorithm.c: low frequencies get wide windows, high get narrow).
+    ST(c,k) = Σ_i x_i · exp(−(i−c)²k²/(2N²)) · e^{−j2πk(i−c)/N}: the
+    Gaussian's σ = N/k shrinks as the probe bin k rises. Evaluated at
+    centers c = floor(qN/4), q ∈ {1,2,3} × bins k ∈ {1,2,3} by exploding a
+    9-combo dimension over ONE hourly aggregation — a time-frequency matrix
+    from a single scan, no per-combo re-reads."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
+    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    j = idx.join(tot, "event_type")
+    combos = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(q).alias("q"), F.lit(k).alias("k"))
+                for q in (1, 2, 3)
+                for k in (1, 2, 3)
+            ]
+        )
+    ).alias("c")
+    e = j.select("event_type", "x", "i", "N", combos).select(
+        "event_type", "x", "i", "N",
+        F.col("c.q").alias("q"), F.col("c.k").alias("k"),
+        F.floor(F.col("c.q") * F.col("N") / 4).alias("ctr"),
+    )
+    d = F.col("i") - F.col("ctr")
+    gauss = F.exp(-(d * d) * F.col("k") * F.col("k") / (2.0 * F.col("N") * F.col("N")))
+    ang = F.lit(2.0 * math.pi) * F.col("k") * d / F.col("N")
+    return (
+        e.groupBy("event_type", "q", "k")
+        .agg(
+            _e6(F.sum(F.col("x") * gauss * F.cos(ang))).alias("re_e6"),
+            _e6(F.sum(F.col("x") * gauss * F.sin(ang))).alias("im_e6"),
+        )
+        .select(
+            "event_type",
+            F.col("q").cast("long").alias("q"),
+            F.col("k").cast("long").alias("k"),
+            "re_e6", "im_e6",
+        )
+        .orderBy("event_type", "q", "k")
+    )
+
+
 def q_events_czt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zoom DFT — the chirp-Z transform's use case
     (/root/reference/src/dsp/czt_algorithm.c: evaluate the spectrum on a
@@ -2439,6 +2493,27 @@ FROM buckets GROUP BY event_type, r ORDER BY event_type, r
                "       count(*) AS n_frames",
                "FROM stacked GROUP BY event_type, scale ORDER BY event_type, scale"]
         ),
+        "events_stransform": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i
+  FROM hourly
+),
+tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type),
+combos(q, k) AS (VALUES (1,1),(1,2),(1,3),(2,1),(2,2),(2,3),(3,1),(3,2),(3,3)),
+j AS (
+  SELECT idx.event_type, x, i, N, q, k, (q * N) // 4 AS ctr
+  FROM idx JOIN tot USING (event_type) CROSS JOIN combos
+)
+SELECT event_type, CAST(q AS BIGINT) AS q, CAST(k AS BIGINT) AS k,
+       CAST(ROUND(sum(x * exp(-((i - ctr) * (i - ctr)) * k * k / (2.0 * N * N))
+                        * cos(2 * pi() * k * (i - ctr) / N)) * 1000000) AS BIGINT) AS re_e6,
+       CAST(ROUND(sum(x * exp(-((i - ctr) * (i - ctr)) * k * k / (2.0 * N * N))
+                        * sin(2 * pi() * k * (i - ctr) / N)) * 1000000) AS BIGINT) AS im_e6
+FROM j GROUP BY event_type, q, k ORDER BY event_type, q, k
+""",
         "events_czt": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
@@ -2723,6 +2798,7 @@ def queries():
         "events_dct": q_events_dct,
         "events_goertzel": q_events_goertzel,
         "events_czt": q_events_czt,
+        "events_stransform": q_events_stransform,
         "events_hilbert": q_events_hilbert,
         "events_reassign": q_events_reassign,
         "events_scalogram": q_events_scalogram,
