@@ -138,8 +138,9 @@ def main() -> None:
     import audioflux_spark.entry_queries as eq
 
     for name in ["term_doc_freqs", "dedup_shingle_jaccard", "dedup_lsh_pairs",
-                 "dedup_minhash", "ann_topk_cosine", "events_sessionize",
-                 "term_entropy"]:
+                 "dedup_minhash", "dedup_embedding_pairs", "ann_topk_cosine",
+                 "events_sessionize", "events_scalogram", "term_entropy",
+                 "doc_hps"]:
         fn = eq.queries()[name]
         fn(spark, SF_DIR).collect()  # warm-up
         t0 = time.perf_counter()
