@@ -449,6 +449,43 @@ def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization — the step after pair detection in a real
+    training-data pipeline: verified dup pairs (exact Jaccard ≥ τ over LSH
+    candidates) become an undirected graph, and every member doc is mapped
+    to its cluster's minimum doc_id by TWO fixed rounds of min-label
+    propagation (deterministic in both engines whether or not a pathological
+    chain has fully converged; dup groups are cliques here, where one round
+    already fixes the label and the second certifies it). `is_dup = 1` rows
+    are the ones a dedup job would drop; keep-set = canon rows. All joins
+    are on doc_id over the (small) pair-member set — corpus-scale work ended
+    at the LSH candidate stage."""
+    from audioflux_spark.entry_queries import DUP_JACCARD_TAU_E6 as TAU
+
+    pairs = (
+        _jaccard_on_pairs(spark, sf_dir, _lsh_candidate_pairs(spark, sf_dir))
+        .filter(F.col("jaccard_e6") >= TAU)
+        .select("doc_a", "doc_b")
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("d"), F.col("doc_b").alias("n")
+    ).unionByName(pairs.select(F.col("doc_b").alias("d"), F.col("doc_a").alias("n")))
+    unds = und.unionByName(
+        und.select("d").distinct().select("d", F.col("d").alias("n"))
+    )
+    l1 = unds.groupBy("d").agg(F.min("n").alias("lbl"))
+    l2 = (
+        unds.join(l1.select(F.col("d").alias("n"), "lbl"), "n")
+        .groupBy("d")
+        .agg(F.min("lbl").alias("canon"))
+    )
+    return l2.select(
+        F.col("d").alias("doc_id"),
+        F.col("canon").alias("canon_id"),
+        F.when(F.col("canon") < F.col("d"), F.lit(1)).otherwise(0).cast("long").alias("is_dup"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures over 3-shingles: 8 'permutations' via salted md5,
     lexicographic min (portable to any engine with md5). Signature digest per
@@ -1820,10 +1857,10 @@ FROM sig ORDER BY doc_id
 """
 
 
-def _lsh_jaccard_sql(order_clause: str) -> str:
-    """DuckDB twin of the MinHash-LSH banded candidate pipeline: identical
-    signatures (salted md5 min), identical 4×2 banding, identical bucket-size
-    cap, exact Jaccard on the emitted pairs only."""
+def _lsh_scored_pairs_cte() -> str:
+    """Shared CTE chain (through `scored`) for every LSH-pair-derived oracle:
+    signatures (salted md5 min), 4×2 banding, bucket-size cap, exact Jaccard
+    on the emitted candidate pairs."""
     mins = ",\n    ".join(
         f"min(md5(concat('{j} ', shingle))) AS m{j}" for j in range(N_MINHASH)
     )
@@ -1831,8 +1868,7 @@ def _lsh_jaccard_sql(order_clause: str) -> str:
         f"SELECT doc_id, {b} AS band, md5(concat_ws('|', m{2 * b}, m{2 * b + 1})) AS bucket FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
   FROM documents
 ),
@@ -1863,15 +1899,49 @@ inter AS (
   JOIN sh a ON a.doc_id = p.doc_a
   JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
   GROUP BY p.doc_a, p.doc_b
-)
-SELECT p.doc_a, p.doc_b,
-       CAST(ROUND(coalesce(i.inter, 0) * 1000000.0 /
-            (sa.n + sb.n - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e6
-FROM pairs p
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(ROUND(coalesce(i.inter, 0) * 1000000.0 /
+              (sa.n + sb.n - coalesce(i.inter, 0))) AS BIGINT) AS jaccard_e6
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)"""
+
+
+def _lsh_jaccard_sql(order_clause: str) -> str:
+    return f"""
+WITH {_lsh_scored_pairs_cte()}
+SELECT doc_a, doc_b, jaccard_e6 FROM scored
 {order_clause}
+"""
+
+
+DUP_JACCARD_TAU_E6 = 500_000  # verified-dup threshold (corpus is bimodal)
+
+
+def _lsh_canonical_sql() -> str:
+    """Canonicalization twin: verified pairs → undirected edges (+loops) →
+    two fixed rounds of min-label propagation → (doc_id, canon_id)."""
+    return f"""
+WITH {_lsh_scored_pairs_cte()},
+edges AS (SELECT doc_a, doc_b FROM scored WHERE jaccard_e6 >= {DUP_JACCARD_TAU_E6}),
+und AS (
+  SELECT doc_a AS d, doc_b AS n FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+unds AS (SELECT d, n FROM und UNION ALL SELECT DISTINCT d, d FROM und),
+l1 AS (SELECT d, min(n) AS lbl FROM unds GROUP BY d),
+l2 AS (
+  SELECT u.d, min(l1.lbl) AS canon
+  FROM unds u JOIN l1 ON l1.d = u.n
+  GROUP BY u.d
+)
+SELECT d AS doc_id, canon AS canon_id,
+       CAST(CASE WHEN canon < d THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM l2 ORDER BY doc_id
 """
 
 
@@ -2157,6 +2227,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
             "ORDER BY 3 DESC, 1, 2 LIMIT 50"  # positional: (jaccard_e6, doc_a, doc_b)
         ),
         "dedup_lsh_pairs": _lsh_jaccard_sql("ORDER BY 1, 2"),
+        "dedup_canonical": _lsh_canonical_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
@@ -2765,6 +2836,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
