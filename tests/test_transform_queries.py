@@ -36,18 +36,23 @@ def tiny_dir(tmp_path_factory):
     ev["ts"] = pd.to_datetime(ev["ts"], unit="s").astype("datetime64[us]")
     ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
 
+    dup = "the quick brown fox jumps over the lazy dog tonight"
     docs = pd.DataFrame(
         {
-            "doc_id": [0, 1],
+            "doc_id": [0, 1, 2, 3, 4],
             # doc 0: tf spectrum 8,4,2,1,1,1 -> HPS argmax at k=1 with
             #        L_1 = ln8+ln4+ln2 = ln64
             "text": [
                 "a a a a a a a a b b b b c c d e f",
                 # doc 1: every term once -> flat log-spectrum -> zero residue
                 "alpha beta gamma delta epsilon zeta",
+                # docs 2-4: an identical triple -> one canonical cluster
+                dup,
+                dup,
+                dup,
             ],
-            "lang": ["en", "en"],
-            "source": ["t", "t"],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
         }
     )
     docs["n_chars"] = docs["text"].str.len()
@@ -153,3 +158,34 @@ def test_czt_integer_bins_vanish_on_flat_series(spark, tiny_dir):
     row = out[out.event_type == "a"].iloc[0]
     for c in ("re4q_e6", "im4q_e6", "re8q_e6", "im8q_e6"):
         assert abs(int(row[c])) <= 1
+
+
+def test_tristimulus_shares(spark, tiny_dir):
+    out = eq.q_doc_tristimulus(spark, tiny_dir).toPandas()
+    r0 = out[out.doc_id == 0].iloc[0]  # tf 8,4,2,1,1,1: tot=17
+    assert int(r0.t1_e6) == round(8 / 17 * 1e6)
+    assert int(r0.t2_e6) == round(7 / 17 * 1e6)
+    assert int(r0.t3_e6) == round(2 / 17 * 1e6)
+    r1 = out[out.doc_id == 1].iloc[0]  # six terms, tf=1 each
+    assert int(r1.t1_e6) == round(1 / 6 * 1e6)
+    assert int(r1.t2_e6) == round(3 / 6 * 1e6)
+    assert int(r1.t3_e6) == round(2 / 6 * 1e6)
+    # shares sum to 1 (±1 µunit rounding) for every doc
+    s = out.t1_e6 + out.t2_e6 + out.t3_e6
+    assert ((s - 1_000_000).abs() <= 2).all()
+
+
+def test_reassign_mass_conserved_and_centered(spark, tiny_dir):
+    out = eq.q_events_reassign(spark, tiny_dir).toPandas()
+    a = out[out.event_type == "a"]
+    # 24 events, one per hour AT the hour start: centroid == own bucket
+    assert int(a.mass.sum()) == 24
+    assert int(a.moved_bins.sum()) == 0
+
+
+def test_canonical_clusters_identical_docs(spark, tiny_dir):
+    out = eq.q_dedup_canonical(spark, tiny_dir).toPandas()
+    # docs 2,3,4 are byte-identical: one cluster with canon=2
+    assert set(out.doc_id) == {2, 3, 4}
+    assert (out.canon_id == 2).all()
+    assert list(out.sort_values("doc_id").is_dup) == [0, 1, 1]
