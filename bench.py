@@ -134,6 +134,20 @@ def main() -> None:
     results["query_p95_sec"] = round(p95, 4)
     queries_sec["bm25_topk_p95"] = round(p95, 4)
 
+    # ---- batch throughput: the whole query set as ONE distributed job
+    # (bm25_topk_many) — the production serving shape; sequential latency
+    # above pays per-job scheduling 24x, the batch path pays it once ----
+    from audioflux_spark.operators.wand import bm25_topk_many
+
+    batch = [(f"q{i}", q.query_text, q.k) for i, q in enumerate(qs)]
+    bm25_topk_many(reader, batch).collect()  # warm-up, excluded
+    t0 = time.perf_counter()
+    bm25_topk_many(reader, batch).collect()
+    dt = time.perf_counter() - t0
+    results["batch_queries"] = len(batch)
+    results["batch_qps"] = round(len(batch) / dt, 2)
+    queries_sec["bm25_batch_all"] = round(dt, 4)
+
     # ---- sample driver-table queries at SF_DIR ----
     import audioflux_spark.entry_queries as eq
 
