@@ -460,11 +460,9 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the ones a dedup job would drop; keep-set = canon rows. All joins
     are on doc_id over the (small) pair-member set — corpus-scale work ended
     at the LSH candidate stage."""
-    from audioflux_spark.entry_queries import DUP_JACCARD_TAU_E6 as TAU
-
     pairs = (
         _jaccard_on_pairs(spark, sf_dir, _lsh_candidate_pairs(spark, sf_dir))
-        .filter(F.col("jaccard_e6") >= TAU)
+        .filter(F.col("jaccard_e6") >= DUP_JACCARD_TAU_E6)
         .select("doc_a", "doc_b")
     )
     und = pairs.select(
