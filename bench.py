@@ -227,6 +227,13 @@ def main() -> None:
         _ncpu = os.cpu_count() or 1
 
         def _one_sampled(c: int) -> tuple[dict, float]:
+            """Run one leg while continuously sampling host availability on
+            spare cores. Returns (result, MEAN probe ratio over the leg) —
+            the mean, not the max, because contamination's effect on the
+            measured wall time is duration-proportional: a 2-second blip in
+            an 8-minute leg moves the build time <2% and should not throw
+            the pair away, while a sustained steal window moves the mean
+            past the threshold exactly when it moves the measurement."""
             import threading
 
             spare0 = max(low, high)  # first cpu the build never uses
@@ -250,7 +257,9 @@ def main() -> None:
             finally:
                 stop.set()
                 th.join(timeout=300)
-            return r, (max(samples) if samples else 1.0)
+            if not samples:
+                samples.append(_probe_ratio(cpu0=spare0))
+            return r, sum(samples) / len(samples)
 
         def _one(c: int) -> dict:
             # taskset pins the WHOLE process tree (JVM + python workers) to c
@@ -290,12 +299,12 @@ def main() -> None:
             # superlinear pairs are physically impossible for this workload —
             # they mean the host's speed changed WITHIN the pair (observed: a
             # 6x slow window during one 1-core run made a pair read "1.82");
-            # probe > 1.3 means the host could not give 4 CPUs to pure ALU
-            # work at some point DURING the pair: snapshots before / between /
-            # after the legs PLUS continuous sampling on spare cores WHILE
-            # each leg runs (the snapshots alone missed windows that opened
-            # and closed mid-leg). Contaminated pairs are disclosed but
-            # never reported.
+            # probe > 1.3 means the host's MEAN availability during a leg
+            # was degraded: continuous in-cache-ALU sampling on spare cores
+            # while each leg runs, averaged over the leg (duration-
+            # proportional, like contamination's effect on the measured
+            # wall time). Contaminated pairs are disclosed but never
+            # reported.
             return e <= 1.02 and probe <= 1.3
 
         def _median_valid() -> float:
@@ -306,12 +315,15 @@ def main() -> None:
         budget_s = float(os.environ.get("AFSPARK_SCALE_BUDGET_S", "1500"))
         max_pairs = int(os.environ.get("AFSPARK_SCALE_MAX_PAIRS", "5"))
         while True:
-            probe_pre = _probe_ratio()
+            # validity depends ONLY on host availability DURING the two
+            # legs — contention between legs (when nothing is being
+            # measured) cannot touch the pair's ratio, so snapshot probes
+            # around the legs were both insufficient (missed mid-leg
+            # windows) and over-strict (vetoed pairs for harmless
+            # between-leg noise); they are gone.
             r_low, during_low = _one_sampled(low)
-            probe_mid = _probe_ratio()
             r_high, during_high = _one_sampled(high)
-            probe_post = _probe_ratio()
-            probe = max(probe_pre, during_low, probe_mid, during_high, probe_post)
+            probe = max(during_low, during_high)
             e = r_high["turns_per_sec"] / (r_low["turns_per_sec"] * (high / low))
             pairs.append((r_low, r_high, e, probe))
             n_valid = sum(1 for p in pairs if _valid(p[2], p[3]))
