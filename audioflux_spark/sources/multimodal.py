@@ -104,9 +104,35 @@ def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.
     )
 
 
+def _decode_wav_pcm(payload: bytes) -> np.ndarray:
+    """REAL decode of PCM WAV via stdlib ``wave`` + np.frombuffer — no external
+    dependency (the reference's audio.read backed by soundfile,
+    /root/reference/python/audioflux/audio.py:22-106; same normalization:
+    intN → float32 in [-1, 1), multi-channel → mean downmix)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x.astype(np.float32)
+
+
 def _decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndarray:
-    """Real soundfile decode when available and payload is a valid audio
-    container; deterministic fake otherwise (same contract as _decode_image)."""
+    """Real decode when possible — soundfile for any container when the
+    library is importable, else stdlib ``wave`` for PCM WAV payloads (RIFF
+    magic) — deterministic fake otherwise (same contract as _decode_image)."""
     try:
         import io
 
@@ -121,6 +147,13 @@ def _decode_audio(payload: bytes, sample_rate: int, duration_ms: int) -> np.ndar
             warnings.warn("payload not decodable by soundfile; using deterministic fake")
     except ImportError:
         pass
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            return _decode_wav_pcm(payload)
+        except Exception:
+            import warnings
+
+            warnings.warn("RIFF payload not PCM-decodable; using deterministic fake")
     n = max(int(int(sample_rate) * int(duration_ms) / 1000), 1)
     return _digest_rng(payload).standard_normal(n).astype(np.float32)
 

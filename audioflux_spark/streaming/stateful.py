@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,17 +56,33 @@ def _sessionize_group(
     else:
         s0, lt, n = None, None, 0
 
+    # vectorized gap segmentation: sessions break where the inter-event gap
+    # exceeds gap_s; the carried (s0, lt, n) state seeds the first segment so
+    # chunked results equal a one-shot run (the tail-carry contract)
     out_rows: list[tuple] = []
-    ts = pd.concat([p[["t"]] for p in pdfs]).sort_values("t")["t"].to_numpy()
-    for t in ts:
-        t = int(t)
-        if lt is not None and t - lt > gap_s:
-            out_rows.append((user_id, s0, lt, n, True))
-            s0, n = t, 0
-        if s0 is None:
-            s0 = t
-        lt = t
-        n += 1
+    ts = np.sort(
+        np.concatenate([p["t"].to_numpy() for p in pdfs]).astype(np.int64)
+    )
+    if ts.size:
+        if lt is None:
+            s0, n = int(ts[0]), 0
+            prevs = np.concatenate((ts[:1], ts[:-1]))
+        else:
+            prevs = np.concatenate(([int(lt)], ts[:-1]))
+        breaks = np.flatnonzero(ts - prevs > gap_s)
+        if breaks.size:
+            seg_starts = np.concatenate(([int(s0)], ts[breaks]))
+            ends = np.where(breaks > 0, ts[np.maximum(breaks - 1, 0)], int(lt or 0))
+            counts = np.diff(np.concatenate(([0], breaks)))
+            counts[0] += n
+            out_rows = [
+                (user_id, int(seg_starts[i]), int(ends[i]), int(counts[i]), True)
+                for i in range(breaks.size)
+            ]
+            s0, n = int(seg_starts[-1]), int(ts.size - breaks[-1])
+        else:
+            n = int(n + ts.size)
+        lt = int(ts[-1])
 
     state.update((int(s0), int(lt), int(n)))
     if use_timeout:

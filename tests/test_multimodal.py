@@ -64,3 +64,62 @@ def test_determinism_across_partitionings(spark):
     a2 = image_features(gen_assets(spark, 40).repartition(7)).toPandas().sort_values("asset_id")
     for x, y in zip(a1["features"], a2["features"]):
         np.testing.assert_array_equal(x, y)
+
+
+def _make_wav(samples: np.ndarray, sample_rate: int = 16000, nch: int = 1) -> bytes:
+    """Write int16 PCM WAV bytes with the stdlib, interleaving channels."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_exact():
+    """stdlib-wave PCM decode is REAL: exact sample equality, not a digest fake."""
+    from audioflux_spark.sources.multimodal import _decode_audio, _decode_wav_pcm
+
+    ints = np.array([0, 16384, -16384, 32767, -32768, 100], dtype=np.int16)
+    payload = _make_wav(ints)
+    got = _decode_wav_pcm(payload)
+    np.testing.assert_array_equal(got, ints.astype(np.float32) / 32768.0)
+    # the dispatcher routes RIFF payloads to the real decoder
+    np.testing.assert_array_equal(_decode_audio(payload, 16000, 1), got)
+
+
+def test_wav_decode_stereo_downmix():
+    from audioflux_spark.sources.multimodal import _decode_wav_pcm
+
+    left = np.array([1000, 2000, 3000], dtype=np.int16)
+    right = np.array([3000, 2000, 1000], dtype=np.int16)
+    inter = np.empty(6, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    got = _decode_wav_pcm(_make_wav(inter, nch=2))
+    want = ((left.astype(np.float32) + right) / 2.0 / 32768.0).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_wav_through_spark_path(spark):
+    """A real generated WAV flows through the Spark audio_stats path with
+    exact RMS/ZCR (computed on the true samples, not a fake)."""
+    from audioflux_spark.sources.multimodal import ASSET_SCHEMA
+
+    t = np.arange(1600)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    payload = _make_wav(sine)
+    x = sine.astype(np.float32) / 32768.0
+    meta = (None, None, 1, 16000, 100, None, "wav")
+    df = spark.createDataFrame(
+        [("wav-1", "conv-1", 0, "audio", payload, meta)], ASSET_SCHEMA
+    )
+    res = audio_stats(df).toPandas()
+    assert len(res) == 1
+    want_rms = float(np.sqrt(np.mean(x**2)))
+    want_zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    assert abs(res["rms"].iloc[0] - want_rms) < 1e-6
+    assert abs(res["zcr"].iloc[0] - want_zcr) < 1e-9
