@@ -137,22 +137,16 @@ def phrase_match_kernel(
     return match_docs, scores
 
 
-def bm25_topk_phrase(
+def phrase_hits(
     reader: IndexReader,
     phrase: str,
     k: int = 10,
     shard_docs: int | None = None,
-) -> DataFrame:
-    """Exact-phrase top-k: docs containing the token sequence, ranked by the
-    BM25 score of the phrase's terms (global corpus stats), ties broken by
-    (conv_id, turn_idx). Requires an index built with store_positions.
-
-    All matching runs in executor tasks, one per (generation, doc-range
-    shard); posting + position blobs reach each task byte-sliced to its
-    range, never whole."""
+) -> DataFrame | None:
+    """Bounded per-shard phrase matches: (gen, doc_id, score) rows, at most
+    k+ties per (generation, doc-range shard). None when the phrase has no
+    resolvable terms or a term is absent from the index (empty result)."""
     from functools import reduce
-
-    from pyspark.sql.window import Window
 
     from audioflux_spark.operators.wand import (
         DEFAULT_SHARD_DOCS,
@@ -164,9 +158,8 @@ def bm25_topk_phrase(
         shard_docs = DEFAULT_SHARD_DOCS
     spark = reader.spark
     terms = query_terms(phrase)
-    empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
     if not terms or k <= 0:
-        return empty
+        return None
     k1, b = reader.meta.k1, reader.meta.b
     n_docs, avgdl = reader.n_docs, reader.avgdl
     gen_ndocs = {g.gen_id: g.meta.n_docs for g in reader.generations}
@@ -183,7 +176,7 @@ def bm25_topk_phrase(
     gdf_rows = seg_union.groupBy("term").agg(F.sum("df").alias("gdf")).collect()
     gdf = {r["term"]: int(r["gdf"]) for r in gdf_rows}
     if any(t not in gdf for t in terms):
-        return empty
+        return None
     idfs = {t: idf_value(n_docs, gdf[t]) for t in set(terms)}
 
     single_shard = all(n <= shard_docs for n in gen_ndocs.values())
@@ -218,6 +211,21 @@ def bm25_topk_phrase(
             doc_lo=int(pdf["range_lo"].iloc[0]),
             doc_hi=int(pdf["range_hi"].iloc[0]),
         )
+        # per-shard top-(k+ties): scores are exact global BM25 already, so a
+        # doc beaten by >= k docs in its own shard can never reach the global
+        # top-k — truncate HERE so the final rank window's input is bounded by
+        # shards*(k+ties), not the match count (a stopword-ish phrase at 100x
+        # would otherwise funnel every match through one window task). Keep
+        # the whole k-th-score tie group: the final (conv_id, turn_idx)
+        # tie-break must see all of it (same discipline as
+        # wand.wand_topk_kernel's theta cut).
+        if doc_ids.size > k:
+            order = np.lexsort((doc_ids, -scores))
+            s_sorted = scores[order]
+            kth = s_sorted[k - 1]
+            cutoff = int(np.searchsorted(-s_sorted, -kth, side="right"))
+            keep = order[:cutoff]
+            doc_ids, scores = doc_ids[keep], scores[keep]
         return pd.DataFrame(
             {
                 "gen": int(pdf["gen"].iloc[0]),
@@ -226,9 +234,35 @@ def bm25_topk_phrase(
             }
         )
 
-    hits = sharded.groupBy("gen", "shard").applyInPandas(
+    return sharded.groupBy("gen", "shard").applyInPandas(
         match_shard, schema="gen int, doc_id long, score double"
     )
+
+
+def bm25_topk_phrase(
+    reader: IndexReader,
+    phrase: str,
+    k: int = 10,
+    shard_docs: int | None = None,
+) -> DataFrame:
+    """Exact-phrase top-k: docs containing the token sequence, ranked by the
+    BM25 score of the phrase's terms (global corpus stats), ties broken by
+    (conv_id, turn_idx). Requires an index built with store_positions.
+
+    All matching runs in executor tasks, one per (generation, doc-range
+    shard); posting + position blobs reach each task byte-sliced to its
+    range, never whole, and each shard emits at most k+ties rows — the final
+    rank window sorts a bounded union, not the full match set."""
+    from functools import reduce
+
+    from pyspark.sql.window import Window
+
+    spark = reader.spark
+    hits = phrase_hits(reader, phrase, k, shard_docs)
+    if hits is None:
+        return spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
     ds_union = reduce(
         DataFrame.unionByName,
         [

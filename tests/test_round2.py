@@ -372,3 +372,38 @@ def test_multimodal_fake_fallback_warns_on_bad_payload(monkeypatch):
     with pytest.warns(UserWarning):
         out = multimodal._decode_image(b"junk", 4, 3, 3)
     assert out.shape == (3, 4, 3)  # deterministic fake with metadata shape
+
+
+def test_phrase_hits_bounded_per_shard(pos_reader, transcripts_pdf):
+    """Forced-small shard_docs: every (gen, shard) emits at most k rows plus
+    the k-th-score tie group, so the final rank window's input is bounded by
+    shards*(k+ties) — never the full match set. Top-k itself stays identical
+    to the unbounded (huge-k) ranking."""
+    import re
+
+    from audioflux_spark.operators.phrase import phrase_hits
+
+    toks = re.findall("[a-z0-9_]+", transcripts_pdf.iloc[0]["text"].lower())
+    phrase = " ".join(toks[:2])
+    n_matches = len(_brute_phrase_docs(transcripts_pdf, toks[:2]))
+    k = 3
+    hits = phrase_hits(pos_reader, phrase, k=k, shard_docs=200).toPandas()
+    # hits carries (gen, doc_id, score); shard_docs=200 → shard = doc_id // 200
+    shard_of = hits["doc_id"] // 200
+    for sh, g in hits.groupby(shard_of):
+        scores = g["score"].sort_values(ascending=False).to_numpy()
+        if len(g) > k:
+            # everything past position k must tie the k-th score exactly
+            assert (scores[k:] == scores[k - 1]).all(), (
+                f"shard {sh} emitted rows past a non-tied k-th score"
+            )
+    # the final window's input is the bounded union, not the match set
+    if n_matches > shard_of.nunique() * k:
+        assert len(hits) < n_matches
+
+    # rank identity vs the unbounded path
+    bounded = bm25_topk_phrase(pos_reader, phrase, k=k, shard_docs=200).toPandas()
+    full = bm25_topk_phrase(pos_reader, phrase, k=10_000).toPandas().head(len(bounded))
+    pd.testing.assert_frame_equal(
+        bounded.reset_index(drop=True), full.reset_index(drop=True)
+    )
