@@ -620,30 +620,37 @@ EMB_NEAR_DUP_TAU = 0.30
 
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup candidate pairs: self-join WITHIN the label
-    bucket (the IVF-coarse-bucket analog — never all-pairs across the
-    corpus), exact cosine on candidates, keep pairs ≥ τ. The same
-    candidate-then-verify shape as dedup_lsh_pairs: bucketing bounds the
-    join to Σ|bucket|² instead of N², and the cosine runs JVM-side
-    (zip_with + aggregate, no Python). Scale path: replace `label` with the
-    persisted IVF assignment (operators/ann.py) — identical plan."""
-    emb = _emb(spark, sf_dir)
+    """Embedding-cosine near-dup candidate pairs: self-join WITHIN the
+    trained IVF bucket (the persisted artifact of operators/ann.py — the
+    same coarse quantizer ann_ivf_trained probes), exact cosine on
+    candidates, keep pairs ≥ τ. The same candidate-then-verify shape as
+    dedup_lsh_pairs: bucketing bounds the join to Σ|bucket|² instead of N²,
+    and the cosine runs JVM-side (zip_with + aggregate, no Python).
+
+    Scale shape: bucket population is CONTROLLED, not assumed — the number
+    of centroids k is a build parameter (k ≈ N / target_bucket at 100 TB,
+    FAISS's rule), so Σ|bucket|² is bounded by design, unlike a data-
+    dependent key such as `label` whose cardinality the pipeline can't
+    choose. The bucket join is also partition-aligned: the artifact stores
+    vectors PARTITIONED BY bucket, so both join sides read bucket-pruned
+    files."""
+    reader = _ivf_reader(spark, sf_dir)
     # norms precomputed per VECTOR (N dots), not per pair (3·N² dots) —
     # measured 12.7 s → ~4 s at sf0.1
-    e = emb.select(
+    e = reader.vectors.select(
         "vec_id",
-        "label",
+        "bucket",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = e.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("label").alias("la"),
+        F.col("vec_id").alias("vec_id_a"), F.col("bucket").alias("ba"),
         F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("label").alias("lb"),
+        F.col("vec_id").alias("vec_id_b"), F.col("bucket").alias("bb"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    j = a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
+    j = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         j.select("vec_id_a", "vec_id_b", _e6(cos).alias("cos_e6"))
@@ -2148,6 +2155,25 @@ SELECT vec_id,
             (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))) * 1000000) AS BIGINT) AS cos_e6
 FROM e, q ORDER BY cos_e6 DESC, vec_id LIMIT 10
 """
+        # near-dup pairs share the SAME materialized assignment: self-join
+        # within the trained IVF bucket, mirroring q_dedup_embedding_pairs
+        out["dedup_embedding_pairs"] = f"""
+WITH a AS (SELECT * FROM read_parquet('{path}')),
+e AS (
+  SELECT emb.vec_id, a.bucket, emb.embedding::DOUBLE[] AS v
+  FROM embeddings emb JOIN a USING (vec_id)
+),
+p AS (
+  SELECT ea.vec_id AS vec_id_a, eb.vec_id AS vec_id_b,
+         CAST(ROUND(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+              * 1000000) AS BIGINT) AS cos_e6
+  FROM e ea JOIN e eb ON ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
+)
+SELECT vec_id_a, vec_id_b, cos_e6 FROM p
+WHERE cos_e6 >= {int(EMB_NEAR_DUP_TAU * 1e6)}
+ORDER BY vec_id_a, vec_id_b
+"""
     except Exception:  # noqa: BLE001
         pass
     return out
@@ -2229,19 +2255,6 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
-        "dedup_embedding_pairs": f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (
-  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-         CAST(ROUND(list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-              * 1000000) AS BIGINT) AS cos_e6
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-)
-SELECT vec_id_a, vec_id_b, cos_e6 FROM p
-WHERE cos_e6 >= {int(EMB_NEAR_DUP_TAU * 1e6)}
-ORDER BY vec_id_a, vec_id_b
-""",
         "ann_topk_cosine": _cosine_sql(False),
         "ann_ivf_label": _cosine_sql(True),
         "embedding_norms": """
