@@ -52,8 +52,42 @@ def _split_bytes_for(fixture_dir: str, n_splits: int) -> str:
     return str(max(total // n_splits + 1, 1 << 20))
 
 
+# host-availability probe: fixed pure-ALU work (in-cache int ops — scales
+# perfectly on real CPUs; measured 32x on this box when idle) run n-way
+# pinned to adjacent CPUs. If even ALU work can't get n concurrent CPUs
+# (noisy-neighbor oversubscription: observed multi-minute windows where
+# 4-core throughput collapses 2-3x while 1-core is unaffected), a
+# measurement taken in that window reads the HOST, not the engine.
+_PROBE_CODE = (
+    "import numpy as np,time;x=np.arange(1<<16,dtype=np.int64);"
+    "t=time.perf_counter()\n"
+    "for _ in range(20000): x = x * 3 + 1\n"
+    "print(time.perf_counter()-t)"
+)
+
+PROBE_CONTAMINATION_THRESHOLD = 1.3
+
+
+def _probe_run(pin: str) -> float:
+    cmd = [sys.executable, "-c", _PROBE_CODE]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", pin, *cmd]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    return float(out.stdout.strip().splitlines()[-1])
+
+
+def probe_ratio(nworkers: int = 4, cpu0: int = 0) -> float:
+    """nworkers-way-vs-solo ALU slowdown on cpus [cpu0, cpu0+nworkers)."""
+    import concurrent.futures as cf
+
+    solo = _probe_run(str(cpu0))
+    with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
+        par = list(ex.map(_probe_run, [str(cpu0 + i) for i in range(nworkers)]))
+    return max(par) / solo if solo > 0 else float("inf")
+
+
 def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
-                split_bytes: str | None = None) -> dict:
+                split_bytes: str | None = None, probe: bool = False) -> dict:
     """Timed index build at a given parallelism; best of ``repeats`` runs in
     one session (reference discipline: warm-up excluded — and /tmp writeback
     from PREVIOUS jobs can stall a cold run by 2-3x, so a single sample is
@@ -69,6 +103,16 @@ def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
                       shuffle_partitions=max(cores, 8), extra_conf=extra)
     t = read_transcripts(spark, fixture_dir)
     n_turns = t.count()  # warm-up: JVM up, file listed, scan primed
+    # contamination disclosure for the headline number: the build occupies
+    # every core, so (unlike the scaling legs) there are no spare cores for
+    # a concurrent sampler — instead snapshot the n-way ALU probe while the
+    # session idles before/between/after the timed repeats. At this
+    # measurement's ~1-minute span, surrounding snapshots bracket the
+    # documented hour-scale hypervisor-steal windows; probe time is outside
+    # every timed section.
+    probes: list[float] = []
+    if probe:
+        probes.append(probe_ratio(4))
     best = float("inf")
     for r in range(repeats):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -76,9 +120,20 @@ def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
         t0 = time.perf_counter()
         build_index(spark, t, index_dir, resume=False)
         best = min(best, time.perf_counter() - t0)
+        if probe:
+            probes.append(probe_ratio(4))
     spark.stop()
-    return {"cores": cores, "turns": n_turns, "build_sec": best,
-            "turns_per_sec": n_turns / best}
+    out = {"cores": cores, "turns": n_turns, "build_sec": best,
+           "turns_per_sec": n_turns / best}
+    if probe:
+        out["probe_snapshots"] = [round(p, 3) for p in probes]
+        out["probe_max"] = round(max(probes), 3)
+        out["contaminated"] = max(probes) > PROBE_CONTAMINATION_THRESHOLD
+        try:
+            out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+    return out
 
 
 def worker_main(args) -> None:
@@ -106,10 +161,18 @@ def main() -> None:
     queries_sec: dict[str, float] = {}
 
     # ---- build throughput at full parallelism ----
-    build = _build_once(CPUS, fx, "/tmp/afspark_bench_idx_main")
+    build = _build_once(CPUS, fx, "/tmp/afspark_bench_idx_main", probe=True)
     results["build_sec"] = round(build["build_sec"], 3)
     results["turns"] = build["turns"]
     results["turns_per_sec"] = round(build["turns_per_sec"], 1)
+    # adjudication context for the headline: ALU-probe snapshots taken
+    # before/between/after the timed repeats (method disclosed in
+    # _build_once) — a contaminated=true build number measures the host
+    results["build_probe"] = {
+        k: build[k]
+        for k in ("probe_snapshots", "probe_max", "contaminated", "loadavg_1m")
+        if k in build
+    }
     queries_sec["index_build"] = round(build["build_sec"], 3)
 
     # ---- query latency over the fixture query set ----
@@ -185,38 +248,6 @@ def main() -> None:
         waves = int(os.environ.get("AFSPARK_SCALE_WAVES", "8"))
         split_bytes = _split_bytes_for(scale_fx, high * waves)
 
-        # host-availability probe: fixed pure-ALU work (in-cache int ops —
-        # scales perfectly on real CPUs; measured 32x on this box when idle)
-        # run 4-way pinned to the same CPUs the pair will use. If even ALU
-        # work can't get 4 concurrent CPUs (noisy-neighbor oversubscription:
-        # observed multi-minute windows where 4-core throughput collapses
-        # 2-3x while 1-core is unaffected), the pair measures the HOST, not
-        # the engine, and is marked contaminated.
-        probe_code = (
-            "import numpy as np,time;x=np.arange(1<<16,dtype=np.int64);"
-            "t=time.perf_counter()\n"
-            "for _ in range(20000): x = x * 3 + 1\n"
-            "print(time.perf_counter()-t)"
-        )
-
-        def _probe_run(pin: str) -> float:
-            cmd = [sys.executable, "-c", probe_code]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", pin, *cmd]
-            out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-            return float(out.stdout.strip().splitlines()[-1])
-
-        def _probe_ratio(cpu0: int = 0) -> float:
-            """4-way-vs-solo ALU slowdown on cpus [cpu0, cpu0+high)."""
-            import concurrent.futures as cf
-
-            solo = _probe_run(str(cpu0))
-            with cf.ThreadPoolExecutor(max_workers=high) as ex:
-                par = list(
-                    ex.map(_probe_run, [str(cpu0 + i) for i in range(high)])
-                )
-            return max(par) / solo if solo > 0 else float("inf")
-
         # during-leg sampling: the between-leg snapshots miss noisy-neighbor
         # windows that open and close WITHIN a leg (observed: a 4-core leg's
         # throughput collapsed 2.6x while every snapshot read ~1.2). A
@@ -245,7 +276,7 @@ def main() -> None:
             def _sampler() -> None:
                 while not stop.is_set():
                     try:
-                        samples.append(_probe_ratio(cpu0=spare0))
+                        samples.append(probe_ratio(high, cpu0=spare0))
                     except Exception:
                         samples.append(float("inf"))
                     stop.wait(0.5)
@@ -258,7 +289,7 @@ def main() -> None:
                 stop.set()
                 th.join(timeout=300)
             if not samples:
-                samples.append(_probe_ratio(cpu0=spare0))
+                samples.append(probe_ratio(high, cpu0=spare0))
             return r, sum(samples) / len(samples)
 
         def _one(c: int) -> dict:
