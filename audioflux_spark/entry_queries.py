@@ -1958,6 +1958,192 @@ def q_events_wpt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWT_LEVELS = (1, 2)  # undecimated Haar, dilation 2^(L-1)
+
+
+def q_events_swt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary (undecimated) wavelet transform — the SWT's defining
+    property vs DWT/WPT is NO decimation (/root/reference/src/
+    swt_algorithm.c: every level keeps full-rate coefficients, shift-
+    invariant): per level L the à-trous Haar pair over the hourly series,
+    detail d_h = x_h − x_{h−2^{L−1}}, approx a_h = x_h + x_{h−2^{L−1}},
+    evaluated at EVERY position (n_coefs stays ~n per level, vs the halving
+    visible in events_wpt_rollup). All-integer; one hourly aggregation, one
+    window pass, dilation exploded as a dimension."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "x",
+        *[F.lag("x", 1 << (L - 1)).over(w).alias(f"p{L}") for L in _SWT_LEVELS],
+    )
+    structs = [
+        F.struct(
+            F.lit(L).cast("long").alias("level"),
+            (F.col("x") - F.col(f"p{L}")).alias("d"),
+            (F.col("x") + F.col(f"p{L}")).alias("a"),
+        )
+        for L in _SWT_LEVELS
+    ]
+    st = (
+        lagged.select("event_type", F.explode(F.array(*structs)).alias("z"))
+        .select("event_type", "z.level", "z.d", "z.a")
+        .filter(F.col("d").isNotNull())
+    )
+    return (
+        st.groupBy("event_type", "level")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("detail_energy"),
+            F.sum(F.col("a") * F.col("a")).alias("approx_energy"),
+            F.count(F.lit(1)).alias("n_coefs"),
+        )
+        .orderBy("event_type", "level")
+    )
+
+
+_STFT_PITCH_BINS = (1, 2, 3, 4)
+
+
+def q_events_stft_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT-peak pitch — the reference's spectrum-argmax estimator
+    (/root/reference/src/mir/_pitch_stft.c: pick the strongest DFT bin):
+    dominant probe bin of each event type's hourly series over k = 1..4,
+    emitting the winning bin with its re/im.
+
+    Determinism: re/im are e6-rounded to BIGINT first (the goertzel
+    contract, identical in both engines); the power compare then runs on
+    DOUBLES DERIVED FROM THOSE EXACT INTEGERS (re_e6² + im_e6² would
+    overflow int64, but identical integer inputs give identical IEEE
+    products in both engines), ties → smaller bin."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
+    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
+    j = idx.join(tot, "event_type")
+    two_pi = F.lit(2.0 * math.pi)
+    aggs = []
+    for k in _STFT_PITCH_BINS:
+        ang = two_pi * F.lit(float(k)) * F.col("i") / F.col("N")
+        aggs.append(_e6(F.sum(F.col("x") * F.cos(ang))).alias(f"re{k}"))
+        aggs.append(_e6(F.sum(F.col("x") * F.sin(ang))).alias(f"im{k}"))
+    spec = j.groupBy("event_type").agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(k).cast("long").alias("bin"),
+            F.col(f"re{k}").alias("re_e6"),
+            F.col(f"im{k}").alias("im_e6"),
+        )
+        for k in _STFT_PITCH_BINS
+    ]
+    bins = spec.select("event_type", F.explode(F.array(*structs)).alias("z")).select(
+        "event_type", "z.bin", "z.re_e6", "z.im_e6"
+    )
+    power = (
+        F.col("re_e6").cast("double") * F.col("re_e6").cast("double")
+        + F.col("im_e6").cast("double") * F.col("im_e6").cast("double")
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(power), "bin")
+    return (
+        bins.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bin").alias("pitch_bin"), "re_e6", "im_e6")
+        .orderBy("event_type")
+    )
+
+
+PACK_CAP = 512          # tokens per training window
+PACK_BUCKET_W = 256     # doc_ids per prefix-sum bucket (→ N/256 driver longs)
+
+
+def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training windows: documents concatenated in
+    doc_id order and sliced into fixed PACK_CAP-token context windows; each
+    doc is assigned to the window containing its first token (the standard
+    concat-then-chunk LM pretraining layout). Per window: doc count, token
+    sum, id range.
+
+    Scale shape: the global running token offset is a DISTRIBUTED PREFIX
+    SUM, not a global window — doc_ids bucket by `doc_id div 256`,
+    per-bucket token totals (one long each) come to the driver, prefix
+    offsets broadcast back, and the within-bucket cumsum is a
+    partition-local window. The driver holds N/256 longs (bucket width is a
+    build parameter — 10^8 at 10^12 docs keeps it ~10^4); no single-task
+    global sort anywhere. The DuckDB twin states the same semantics as one
+    global window cumsum."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("doc_id").cast("long").alias("did"),
+        doc_len_col("text").cast("long").alias("len"),
+    ).withColumn("bucket", F.expr(f"did div {PACK_BUCKET_W}"))
+    bucket_tot = (
+        d.groupBy("bucket").agg(F.sum("len").alias("btot")).collect()
+    )
+    offs: dict[int, int] = {}
+    run = 0
+    for r in sorted(bucket_tot, key=lambda r: r["bucket"]):
+        offs[int(r["bucket"])] = run
+        run += int(r["btot"])
+    off_map = F.create_map(
+        *[x for b, o in offs.items() for x in (F.lit(b), F.lit(o))]
+    )
+    wb = Window.partitionBy("bucket").orderBy("doc_id")
+    cum = d.withColumn(
+        "cum_before",
+        off_map[F.col("bucket")] + F.sum("len").over(wb) - F.col("len"),
+    ).withColumn("window_id", F.expr(f"cum_before div {PACK_CAP}"))
+    return (
+        cum.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("window_id")
+    )
+
+
+SAMPLE_MOD = 4  # keep ~1/4 per stratum
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    within each lang stratum keep the docs whose content-independent hash
+    bucket (first md5 hex char of the doc_id string, mod 4 — portable
+    across engines) is 0. Emits per-stratum totals so a mix designer can
+    verify rates; the kept-set is a pure filter (no shuffle beyond the
+    final tiny rollup) and the same rows are kept on ANY cluster size or
+    partitioning — the property that makes the sample reproducible at
+    10^12 docs."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", doc_len_col("text").cast("long").alias("len")
+    )
+    keep = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+        % SAMPLE_MOD
+        == 0
+    )
+    return (
+        d.withColumn("kept", keep.cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("len")).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_events_mkl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modified-KL novelty — the reference's MKL onset feature
     (spectral_algorithm.c mkl: Σ log(1 + |s_t| / max(|s_{t-1}|, ε)))."""
@@ -2843,6 +3029,102 @@ FROM buckets GROUP BY event_type, r ORDER BY event_type, r
                "       CAST(n_overlap AS BIGINT) AS n_overlap",
                "FROM ranked WHERE rn = 1 ORDER BY event_type"]
         ),
+        "events_swt": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),",
+             "lagged AS (",
+             "  SELECT event_type, x,"]
+            + [
+                f"         lag(x, {1 << (L - 1)}) OVER w AS p{L},"
+                for L in _SWT_LEVELS
+            ]
+            + ["         1 AS _d",
+               "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)",
+               "),",
+               "st AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, {L} AS level, x - p{L} AS d, x + p{L} AS a "
+                   f"FROM lagged WHERE p{L} IS NOT NULL"
+                   for L in _SWT_LEVELS
+               ),
+               ")",
+               "SELECT event_type, CAST(level AS BIGINT) AS level,",
+               "       CAST(sum(d * d) AS BIGINT) AS detail_energy,",
+               "       CAST(sum(a * a) AS BIGINT) AS approx_energy,",
+               "       count(*) AS n_coefs",
+               "FROM st GROUP BY event_type, level ORDER BY event_type, level"]
+        ),
+        "events_stft_pitch": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),",
+             "idx AS (",
+             "  SELECT event_type, x,",
+             "         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i",
+             "  FROM hourly",
+             "),",
+             "tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type),",
+             "spec AS (",
+             "  SELECT idx.event_type,"]
+            + [
+                f"         CAST(ROUND(sum(x * cos(2 * pi() * {k} * i / N)) * 1000000) AS BIGINT) AS re{k},\n"
+                f"         CAST(ROUND(sum(x * sin(2 * pi() * {k} * i / N)) * 1000000) AS BIGINT) AS im{k},"
+                for k in _STFT_PITCH_BINS
+            ]
+            + ["         1 AS _d",
+               "  FROM idx JOIN tot USING (event_type) GROUP BY idx.event_type",
+               "),",
+               "bins AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, {k} AS bin, re{k} AS re_e6, im{k} AS im_e6 FROM spec"
+                   for k in _STFT_PITCH_BINS
+               ),
+               "),",
+               "ranked AS (",
+               "  SELECT event_type, bin, re_e6, im_e6,",
+               "         row_number() OVER (PARTITION BY event_type ORDER BY",
+               "           re_e6::DOUBLE * re_e6::DOUBLE + im_e6::DOUBLE * im_e6::DOUBLE DESC,",
+               "           bin) AS rn",
+               "  FROM bins",
+               ")",
+               "SELECT event_type, CAST(bin AS BIGINT) AS pitch_bin, re_e6, im_e6",
+               "FROM ranked WHERE rn = 1 ORDER BY event_type"]
+        ),
+        "doc_pack_windows": f"""
+WITH tok AS ({_TOK_SQL}),
+c AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
+lens AS (
+  SELECT d.doc_id, coalesce(c.c, 0)::BIGINT AS len
+  FROM documents d LEFT JOIN c USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, len,
+         sum(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len
+           AS cum_before
+  FROM lens
+)
+SELECT CAST(cum_before // {PACK_CAP} AS BIGINT) AS window_id,
+       count(*) AS n_docs,
+       CAST(sum(len) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum GROUP BY window_id ORDER BY window_id
+""",
+        "doc_stratified_sample": f"""
+WITH tok AS ({_TOK_SQL}),
+c AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
+d AS (
+  SELECT doc.doc_id, doc.lang, coalesce(c.c, 0)::BIGINT AS len,
+         CASE WHEN ascii(substr(md5(doc.doc_id::VARCHAR), 1, 1)) % {SAMPLE_MOD} = 0
+              THEN 1 ELSE 0 END AS kept
+  FROM documents doc LEFT JOIN c USING (doc_id)
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(kept * len) AS BIGINT) AS tokens_kept
+FROM d GROUP BY lang ORDER BY lang
+""",
         "events_wpt_rollup": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),
@@ -3166,6 +3448,10 @@ def queries():
         "events_synsq": q_events_synsq,
         "events_ncf_pitch": q_events_ncf_pitch,
         "events_wpt_rollup": q_events_wpt_rollup,
+        "events_swt": q_events_swt,
+        "events_stft_pitch": q_events_stft_pitch,
+        "doc_pack_windows": q_doc_pack_windows,
+        "doc_stratified_sample": q_doc_stratified_sample,
         # -- complex multi-stage paths worth re-verifying every round
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -3188,12 +3474,12 @@ def queries():
         "analyzer_family": q_analyzer_family,
         "ngram_multires": q_ngram_multires,
         "events_rollup_pyramid": q_events_rollup_pyramid,
+        # ---------------- driver window boundary (entry 50 ends above) ----
+        # -- multi-round-stable simple rows (driver-green r1-r3)
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
         "events_resample": q_events_resample,
         "events_fir": q_events_fir,
-        # ---------------- driver window boundary (entry 50 ends above) ----
-        # -- multi-round-stable simple rows (driver-green r1-r3)
         "term_doc_freqs": q_term_doc_freqs,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,

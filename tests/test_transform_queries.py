@@ -256,3 +256,44 @@ def test_synsq_mass_conserved(spark, tiny_dir):
         want = n_full * y * y
         got = int(a_rows[a_rows["scale"] == s]["mass"].sum())
         assert got == want, (s, got, want)
+
+
+def test_swt_undecimated_coef_counts(spark, tiny_dir):
+    """SWT's defining property: no decimation — level L keeps n - 2^(L-1)
+    coefficients (vs the halving in the packet tree)."""
+    res = eq.q_events_swt(spark, tiny_dir).toPandas()
+    a_rows = res[res["event_type"] == "a"]
+    for L in eq._SWT_LEVELS:
+        row = a_rows[a_rows["level"] == L].iloc[0]
+        assert int(row["n_coefs"]) == 24 - (1 << (L - 1))
+        # flat series: zero detail energy, approx = (2x)² everywhere
+        assert int(row["detail_energy"]) == 0
+        assert int(row["approx_energy"]) == 4 * int(row["n_coefs"])
+
+
+def test_stft_pitch_flat_series_ties_to_first_bin(spark, tiny_dir):
+    """Flat hourly counts have (near-)zero power at every nonzero bin; the
+    argmax tie-break lands on the smallest probe bin."""
+    res = eq.q_events_stft_pitch(spark, tiny_dir).toPandas()
+    row = res[res["event_type"] == "a"].iloc[0]
+    assert int(row["pitch_bin"]) == min(eq._STFT_PITCH_BINS)
+
+
+def test_pack_windows_conserves_tokens(spark):
+    """Packing is a partition of the concatenated token stream: window token
+    sums add up to the corpus total and window ids are contiguous."""
+    sf = "/root/testdata/sf0.001"
+    res = eq.q_doc_pack_windows(spark, sf).toPandas()
+    total = eq.q_doc_lengths(spark, sf).toPandas()["doc_len"].sum()
+    assert res["tokens"].sum() == total
+    wids = res["window_id"].to_numpy()
+    assert (wids == range(len(wids))).all()
+
+
+def test_stratified_sample_deterministic(spark):
+    sf = "/root/testdata/sf0.001"
+    a = eq.q_doc_stratified_sample(spark, sf).toPandas()
+    b = eq.q_doc_stratified_sample(spark, sf).toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_kept"] <= a["n_total"]).all()
+    assert (a["n_kept"] > 0).any()
