@@ -1912,6 +1912,64 @@ def q_events_ncf_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PEF_LAGS = (2, 3, 4, 5)  # candidate periods; comb taps at tau and 2*tau
+
+
+def q_events_pef_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comb-filter (PEF) pitch over the hourly series — the reference's
+    pitch-estimation-filter estimator (/root/reference/src/mir/_pitch_pef.c:
+    a harmonic comb scores each candidate period by the signal's correlation
+    with itself at the period AND its multiples). Per candidate τ:
+    score(τ) = mean over full-support rows of x_i·(2·x_{i+τ} + x_{i+2τ})
+    (integer harmonic weights 2:1), pitch = argmax (ties → smaller τ).
+
+    Determinism: the comb sum and support count are exact integers; only
+    the final mean/round is fp on identical integers. Same one-window-pass
+    plan as events_ncf_pitch (leads at τ and 2τ for every candidate)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    need = sorted({off for t in _PEF_LAGS for off in (t, 2 * t)})
+    leads = hourly.select(
+        "event_type", "x",
+        *[F.lead("x", o).over(w).alias(f"l{o}") for o in need],
+    )
+    aggs = []
+    for t in _PEF_LAGS:
+        l1, l2 = F.col(f"l{t}"), F.col(f"l{2 * t}")
+        full = l1.isNotNull() & l2.isNotNull()
+        aggs += [
+            F.sum(F.when(full, F.col("x") * (2 * l1 + l2))).alias(f"s{t}"),
+            F.sum(F.when(full, 1).otherwise(0)).alias(f"n{t}"),
+        ]
+    per_type = leads.groupBy("event_type").agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(t).cast("long").alias("lag"),
+            F.col(f"s{t}").alias("s"),
+            F.col(f"n{t}").alias("n_support"),
+        )
+        for t in _PEF_LAGS
+    ]
+    lags = (
+        per_type.select("event_type", F.explode(F.array(*structs)).alias("z"))
+        .select("event_type", "z.lag", "z.s", "z.n_support")
+        .filter(F.col("n_support") > 0)
+    )
+    scored = lags.withColumn(
+        "pef_e6", _e6(F.col("s").cast("double") / F.col("n_support"))
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("pef_e6"), "lag")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("lag").alias("pitch_lag"), "pef_e6", "n_support")
+        .orderBy("event_type")
+    )
+
+
 def q_events_wpt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wavelet-PACKET rollup — unlike events_rollup_pyramid's DWT shape
     (approximation chain only), the packet tree decomposes BOTH branches at
@@ -3125,6 +3183,52 @@ SELECT lang, count(*) AS n_total,
        CAST(sum(kept * len) AS BIGINT) AS tokens_kept
 FROM d GROUP BY lang ORDER BY lang
 """,
+        "events_pef_pitch": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),",
+             "leads AS (",
+             "  SELECT event_type, x,"]
+            + [
+                f"         lead(x, {o}) OVER w AS l{o},"
+                for o in sorted({off for t in _PEF_LAGS for off in (t, 2 * t)})
+            ]
+            + ["         1 AS _d",
+               "  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)",
+               "),",
+               "per_type AS (",
+               "  SELECT event_type,"]
+            + [
+                f"         sum(CASE WHEN l{t} IS NOT NULL AND l{2*t} IS NOT NULL"
+                f" THEN x * (2 * l{t} + l{2*t}) END) AS s{t},\n"
+                f"         sum(CASE WHEN l{t} IS NOT NULL AND l{2*t} IS NOT NULL"
+                f" THEN 1 ELSE 0 END) AS n{t},"
+                for t in _PEF_LAGS
+            ]
+            + ["         1 AS _d2",
+               "  FROM leads GROUP BY event_type",
+               "),",
+               "lags AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, {t} AS lag, s{t} AS s, n{t} AS n_support FROM per_type"
+                   for t in _PEF_LAGS
+               ),
+               "),",
+               "scored AS (",
+               "  SELECT event_type, lag, n_support,",
+               "         CAST(ROUND(s::DOUBLE / n_support * 1000000) AS BIGINT) AS pef_e6",
+               "  FROM lags WHERE n_support > 0",
+               "),",
+               "ranked AS (",
+               "  SELECT event_type, lag, pef_e6, n_support,",
+               "         row_number() OVER (PARTITION BY event_type",
+               "                            ORDER BY pef_e6 DESC, lag) AS rn",
+               "  FROM scored",
+               ")",
+               "SELECT event_type, CAST(lag AS BIGINT) AS pitch_lag, pef_e6,",
+               "       CAST(n_support AS BIGINT) AS n_support",
+               "FROM ranked WHERE rn = 1 ORDER BY event_type"]
+        ),
         "events_wpt_rollup": """
 WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
 hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),
@@ -3450,6 +3554,7 @@ def queries():
         "events_wpt_rollup": q_events_wpt_rollup,
         "events_swt": q_events_swt,
         "events_stft_pitch": q_events_stft_pitch,
+        "events_pef_pitch": q_events_pef_pitch,
         "doc_pack_windows": q_doc_pack_windows,
         "doc_stratified_sample": q_doc_stratified_sample,
         # -- complex multi-stage paths worth re-verifying every round
@@ -3467,7 +3572,6 @@ def queries():
         "nmf_topics": q_nmf_topics,
         "hmm_fit": q_hmm_fit,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
-        "term_entropy": q_term_entropy,
         "doc_tf_stats": q_doc_tf_stats,
         "doc_tf_moments": q_doc_tf_moments,
         "doc_tf_shape": q_doc_tf_shape,
@@ -3480,6 +3584,7 @@ def queries():
         "events_mkl": q_events_mkl,
         "events_resample": q_events_resample,
         "events_fir": q_events_fir,
+        "term_entropy": q_term_entropy,
         "term_doc_freqs": q_term_doc_freqs,
         "doc_lengths": q_doc_lengths,
         "corpus_stats": q_corpus_stats,

@@ -217,7 +217,7 @@ def main() -> None:
     for name in ["term_doc_freqs", "dedup_shingle_jaccard", "dedup_lsh_pairs",
                  "dedup_minhash", "dedup_embedding_pairs", "ann_topk_cosine",
                  "events_sessionize", "events_scalogram", "term_entropy",
-                 "doc_hps"]:
+                 "doc_hps", "doc_pack_windows", "doc_stratified_sample"]:
         fn = eq.queries()[name]
         fn(spark, SF_DIR).collect()  # warm-up
         t0 = time.perf_counter()

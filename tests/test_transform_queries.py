@@ -297,3 +297,10 @@ def test_stratified_sample_deterministic(spark):
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_kept"] <= a["n_total"]).all()
     assert (a["n_kept"] > 0).any()
+
+
+def test_pef_detects_planted_period(spark, periodic_dir):
+    """The comb taps at tau AND 2*tau both align with the planted 4-hour
+    period, so PEF must pick lag 4 over the uncombed candidates."""
+    res = eq.q_events_pef_pitch(spark, periodic_dir).toPandas()
+    assert int(res.iloc[0]["pitch_lag"]) == 4
