@@ -100,9 +100,10 @@ def sessionize_stream(
     """Streaming sessionization: (user_id, t epoch-seconds) stream → closed
     sessions, one bounded state row per user (the tail-carry analog).
 
-    Works on both streaming and batch DataFrames (Spark runs the same
-    stateful operator either way), which is what lets the test compare the
-    chunked-stream output against a one-shot batch run."""
+    Requires a STREAMING DataFrame (Spark 4 rejects applyInPandasWithState
+    in batch queries); the chunked==one-shot contract is verified by
+    comparing the streamed output against an equivalent batch window-lag
+    sessionization in tests/test_stateful_stream.py."""
     conf = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout
