@@ -1991,28 +1991,45 @@ def q_events_wpt_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 = hourly.groupBy("event_type", F.expr("h div 2").alias("m")).agg(
         F.sum("x").alias("a"), F.sum(F.col("x") * sgn_h).alias("d")
     )
+    # ONE cascade, ONE scan: the level-2 aggregation also carries the
+    # level-1 energy partials (Σa², Σd², count), so the per-type rollup
+    # below never re-reads hourly/l1 — the naive union of two grouped aggs
+    # re-scanned the parquet per level (caught by .explain)
     sgn_m = 1 - 2 * (F.col("m") % 2)
     l2 = l1.groupBy("event_type", F.expr("m div 2").alias("q")).agg(
         F.sum("a").alias("aa"), F.sum(F.col("a") * sgn_m).alias("ad"),
         F.sum("d").alias("da"), F.sum(F.col("d") * sgn_m).alias("dd"),
+        F.sum(F.col("a") * F.col("a")).alias("ea1"),
+        F.sum(F.col("d") * F.col("d")).alias("ed1"),
+        F.count(F.lit(1)).alias("n1"),
     )
-
-    def node_energy(df, level: int, nodes: list[str]) -> DataFrame:
-        structs = [
-            F.struct(F.lit(nm).alias("node"), F.col(nm).alias("c")) for nm in nodes
-        ]
-        st = df.select("event_type", F.explode(F.array(*structs)).alias("z"))
-        return st.groupBy("event_type", F.col("z.node").alias("node")).agg(
-            F.lit(level).cast("long").alias("level"),
-            F.sum(F.col("z.c") * F.col("z.c")).alias("energy"),
-            F.count(F.lit(1)).alias("n_coefs"),
+    per_type = l2.groupBy("event_type").agg(
+        F.sum("ea1").alias("e_a"), F.sum("ed1").alias("e_d"),
+        F.sum("n1").alias("n_l1"),
+        F.sum(F.col("aa") * F.col("aa")).alias("e_aa"),
+        F.sum(F.col("ad") * F.col("ad")).alias("e_ad"),
+        F.sum(F.col("da") * F.col("da")).alias("e_da"),
+        F.sum(F.col("dd") * F.col("dd")).alias("e_dd"),
+        F.count(F.lit(1)).alias("n_l2"),
+    )
+    nodes = [
+        (1, "a", "e_a", "n_l1"), (1, "d", "e_d", "n_l1"),
+        (2, "aa", "e_aa", "n_l2"), (2, "ad", "e_ad", "n_l2"),
+        (2, "da", "e_da", "n_l2"), (2, "dd", "e_dd", "n_l2"),
+    ]
+    structs = [
+        F.struct(
+            F.lit(lvl).cast("long").alias("level"),
+            F.lit(nm).alias("node"),
+            F.col(ecol).alias("energy"),
+            F.col(ncol).alias("n_coefs"),
         )
-
-    out = node_energy(l1, 1, ["a", "d"]).unionByName(
-        node_energy(l2, 2, ["aa", "ad", "da", "dd"])
-    )
-    return out.select("event_type", "level", "node", "energy", "n_coefs").orderBy(
-        "event_type", "level", "node"
+        for lvl, nm, ecol, ncol in nodes
+    ]
+    return (
+        per_type.select("event_type", F.explode(F.array(*structs)).alias("z"))
+        .select("event_type", "z.level", "z.node", "z.energy", "z.n_coefs")
+        .orderBy("event_type", "level", "node")
     )
 
 
@@ -2083,10 +2100,14 @@ def q_events_stft_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
+    # i and N from the SAME window partition — no hourly self-join, one scan
     w = Window.partitionBy("event_type").orderBy("h")
-    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
-    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
-    j = idx.join(tot, "event_type")
+    wp = Window.partitionBy("event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("N"),
+    )
     two_pi = F.lit(2.0 * math.pi)
     aggs = []
     for k in _STFT_PITCH_BINS:
