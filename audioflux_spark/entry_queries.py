@@ -1281,10 +1281,13 @@ def q_events_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
+    # i and N from the SAME window partition — no hourly self-join, one scan
     w = Window.partitionBy("event_type").orderBy("h")
-    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
-    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
-    j = idx.join(tot, "event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("N"),
+    )
     pi = F.lit(math.pi)
     aggs = [
         _e6(
@@ -1417,10 +1420,13 @@ def q_events_goertzel(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
+    # i and N from the SAME window partition — no hourly self-join, one scan
     w = Window.partitionBy("event_type").orderBy("h")
-    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
-    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
-    j = idx.join(tot, "event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("N"),
+    )
     two_pi = F.lit(2.0 * math.pi)
     aggs = []
     for k in (1, 2, 3):
@@ -1447,10 +1453,13 @@ def q_events_stransform(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
+    # i and N from the SAME window partition — no hourly self-join, one scan
     w = Window.partitionBy("event_type").orderBy("h")
-    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
-    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
-    j = idx.join(tot, "event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("N"),
+    )
     combos = F.explode(
         F.array(
             *[
@@ -1500,10 +1509,13 @@ def q_events_czt(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
+    # i and N from the SAME window partition — no hourly self-join, one scan
     w = Window.partitionBy("event_type").orderBy("h")
-    idx = hourly.withColumn("i", F.row_number().over(w) - 1)
-    tot = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("N"))
-    j = idx.join(tot, "event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("N"),
+    )
     two_pi = F.lit(2.0 * math.pi)
     aggs = []
     for q, k in ((4, 1.0), (5, 1.25), (6, 1.5), (7, 1.75), (8, 2.0)):
