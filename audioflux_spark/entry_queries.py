@@ -1626,11 +1626,13 @@ def q_doc_envelope_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     w = Window.partitionBy("doc_id").orderBy("term")
-    ranked = tf.withColumn("i", F.row_number().over(w) - 1).withColumn(
-        "x", F.log(F.lit(1.0) + F.col("tf"))
+    # M from the same window partition — no tf self-join (which re-ran the
+    # whole tokenize scan on the join's second branch)
+    j = (
+        tf.withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("x", F.log(F.lit(1.0) + F.col("tf")))
+        .withColumn("M", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
-    j = ranked.join(tot, "doc_id")
     pi = F.lit(math.pi)
     ceps = j.groupBy("doc_id").agg(
         *[
@@ -1708,11 +1710,13 @@ def q_doc_cepstrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("tf")
     )
     w = Window.partitionBy("doc_id").orderBy("term")
-    ranked = tf.withColumn("i", F.row_number().over(w) - 1).withColumn(
-        "x", F.log(F.lit(1.0) + F.col("tf"))
+    # M from the same window partition — no tf self-join (which re-ran the
+    # whole tokenize scan on the join's second branch)
+    j = (
+        tf.withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("x", F.log(F.lit(1.0) + F.col("tf")))
+        .withColumn("M", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    tot = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("M"))
-    j = ranked.join(tot, "doc_id")
     pi = F.lit(math.pi)
     aggs = [
         _e6(
@@ -1736,15 +1740,17 @@ def q_doc_rolloff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("w")
     )
     wk = Window.partitionBy("doc_id").orderBy("term")
-    ranked = tf.withColumn("k", F.row_number().over(wk)).withColumn(
-        "cum", F.sum("w").over(wk)
-    )
-    tot = tf.groupBy("doc_id").agg(
-        F.sum("w").alias("tot"), F.count(F.lit(1)).alias("n_terms")
+    wd = Window.partitionBy("doc_id")
+    # per-doc totals from the same window partition — no tf self-join /
+    # second tokenize pass (sums of integer-valued doubles: order-exact)
+    ranked = (
+        tf.withColumn("k", F.row_number().over(wk))
+        .withColumn("cum", F.sum("w").over(wk))
+        .withColumn("tot", F.sum("w").over(wd))
+        .withColumn("n_terms", F.count(F.lit(1)).over(wd))
     )
     roll = (
-        ranked.join(tot, "doc_id")
-        .filter(F.col("cum") >= 0.85 * F.col("tot"))
+        ranked.filter(F.col("cum") >= 0.85 * F.col("tot"))
         .groupBy("doc_id", "n_terms")
         .agg(F.min("k").alias("rolloff_k"))
     )
