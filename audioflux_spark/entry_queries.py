@@ -313,6 +313,48 @@ def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------------- dedup
 
 
+DECON_EVAL_MOD = 100     # eval split: doc_id % 100 == 0 (deterministic)
+DECON_MAX_SHINGLE = 500  # drop boilerplate shingles before the join
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION — the benchmark-leakage check every
+    training-data pipeline runs before a model sees the corpus: find
+    training documents that share 3-gram shingles with any held-out eval
+    document. Eval = deterministic doc_id split; per eval doc: how many
+    train docs collide, the worst collision size, and total shared-shingle
+    mass.
+
+    Scale shape: the ONLY join is eval-shingles ⋈ train-shingles on the
+    shingle value, with boilerplate shingles (appearing in > 500 docs)
+    dropped BEFORE the join — the same hot-key cap as the LSH bucket join,
+    so no quadratic blowup on 'the quick brown fox'-type n-grams. The eval
+    side is a tiny fraction of the corpus by construction."""
+    sh = _shingles(spark, sf_dir)
+    wsh = Window.partitionBy("shingle")
+    capped = sh.withColumn("ndocs", F.count(F.lit(1)).over(wsh)).filter(
+        F.col("ndocs") <= DECON_MAX_SHINGLE
+    )
+    ev = capped.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = capped.filter(F.col("doc_id") % DECON_EVAL_MOD != 0).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    pair = ev.join(tr, "shingle").groupBy("eval_doc", "train_doc").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    return (
+        pair.groupBy("eval_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_hits"),
+            F.max("shared").alias("max_shared"),
+            F.sum("shared").alias("total_shared"),
+        )
+        .orderBy("eval_doc")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -2702,6 +2744,32 @@ WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}))
 SELECT doc_id, md5(string_agg(term, ' ' ORDER BY term)) AS fingerprint
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """,
+        "dedup_decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+capped AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS ndocs FROM sh
+  ) WHERE ndocs <= {DECON_MAX_SHINGLE}
+),
+ev AS (SELECT doc_id AS eval_doc, shingle FROM capped WHERE doc_id % {DECON_EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_doc, shingle FROM capped WHERE doc_id % {DECON_EVAL_MOD} <> 0),
+pair AS (
+  SELECT eval_doc, train_doc, count(*) AS shared
+  FROM ev JOIN tr USING (shingle) GROUP BY eval_doc, train_doc
+)
+SELECT eval_doc, count(*) AS n_train_hits,
+       CAST(max(shared) AS BIGINT) AS max_shared,
+       CAST(sum(shared) AS BIGINT) AS total_shared
+FROM pair GROUP BY eval_doc ORDER BY eval_doc
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
 FROM documents GROUP BY md5(text) ORDER BY text_hash
@@ -3632,6 +3700,7 @@ def queries():
         "lang_id": q_lang_id,
         "token_fingerprint": q_token_fingerprint,
         "dedup_exact": q_dedup_exact,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_minhash": q_dedup_minhash,
         "embedding_norms": q_embedding_norms,
         "events_hourly": q_events_hourly,
