@@ -364,24 +364,40 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CACHE: dict[str, DataFrame] = {}
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 3-token shingles per doc, built JVM-side (no Python)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", tokens_col("text").alias("toks")
-    )
-    return (
-        toks.filter(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
-                )
-            ).alias("shingle"),
+    """Distinct 3-token shingles per doc, built JVM-side (no Python).
+
+    MATERIALIZED once per corpus dir: the shingle table feeds the signature,
+    banding, verify, and decontamination stages, and without persistence
+    Catalyst re-executes the tokenize scan once per reference — measured 8
+    parquet scans in one LSH query and 64 in the canonicalize composition.
+    At corpus scale this table is written once per snapshot (the segments /
+    IVF-artifact discipline); here MEMORY_AND_DISK persistence is the
+    in-process equivalent."""
+    if sf_dir not in _SHINGLE_CACHE:
+        from pyspark import StorageLevel
+
+        toks = _docs(spark, sf_dir).select(
+            "doc_id", tokens_col("text").alias("toks")
         )
-        .distinct()
-    )
+        sh = (
+            toks.filter(F.size("toks") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - 2),
+                        lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
+                    )
+                ).alias("shingle"),
+            )
+            .distinct()
+        )
+        _SHINGLE_CACHE[sf_dir] = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return _SHINGLE_CACHE[sf_dir]
 
 
 N_MINHASH = 8
@@ -471,11 +487,29 @@ def _jaccard_on_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> Dat
     )
 
 
+_SCORED_PAIRS_CACHE: dict[str, DataFrame] = {}
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared LSH-candidate → exact-Jaccard table, materialized once per
+    corpus dir: three queries (top-k ranking, full pair list, canonicalize)
+    consume the SAME scored pairs — the SQL oracles already share one
+    `scored` CTE, and without persistence the Spark side re-ran the banding
+    self-join + verify once per downstream branch (6x inside
+    dedup_canonical's label propagation)."""
+    if sf_dir not in _SCORED_PAIRS_CACHE:
+        from pyspark import StorageLevel
+
+        pairs = _lsh_candidate_pairs(spark, sf_dir)
+        scored = _jaccard_on_pairs(spark, sf_dir, pairs)
+        _SCORED_PAIRS_CACHE[sf_dir] = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    return _SCORED_PAIRS_CACHE[sf_dir]
+
+
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs verified with exact Jaccard — the full
     banded dedup pipeline (signature → band → bucket → pair → verify)."""
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
-    return _jaccard_on_pairs(spark, sf_dir, pairs).orderBy("doc_a", "doc_b")
+    return _scored_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,9 +517,8 @@ def q_dedup_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard. The candidate set comes from MinHash-LSH banding (no all-pairs
     shingle self-join anywhere — that baseline is quadratic on any hot
     boilerplate shingle at corpus scale)."""
-    pairs = _lsh_candidate_pairs(spark, sf_dir)
     return (
-        _jaccard_on_pairs(spark, sf_dir, pairs)
+        _scored_pairs(spark, sf_dir)
         .orderBy(F.desc("jaccard_e6"), "doc_a", "doc_b")
         .limit(50)
     )
@@ -503,7 +536,7 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     are on doc_id over the (small) pair-member set — corpus-scale work ended
     at the LSH candidate stage."""
     pairs = (
-        _jaccard_on_pairs(spark, sf_dir, _lsh_candidate_pairs(spark, sf_dir))
+        _scored_pairs(spark, sf_dir)
         .filter(F.col("jaccard_e6") >= DUP_JACCARD_TAU_E6)
         .select("doc_a", "doc_b")
     )
