@@ -66,3 +66,30 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score_e6"]
+
+
+def test_driver_window_composition():
+    """The driver's correctness harness samples only the FIRST 50 queries()
+    entries (discovered round 3: 15 new queries silently lost coverage).
+    Guard the invariant: every entry has an oracle, and every query added
+    or changed in the current round sits inside the 50-entry window."""
+    qs = list(entry_mod.queries())
+    osql = entry_mod.oracle_sql()
+    missing = [q for q in qs if q not in osql]
+    assert not missing, f"entries without an oracle twin: {missing}"
+    window = set(qs[:50])
+    round4_new_or_changed = {
+        # round-3 transforms that had never been driver-sampled
+        "events_dct", "events_goertzel", "events_czt", "events_stransform",
+        "events_hilbert", "events_reassign", "events_scalogram",
+        "events_cepstrogram", "doc_tristimulus", "doc_hps",
+        "doc_envelope_residue", "doc_cepstrum", "doc_rolloff",
+        "events_yin_trough", "events_hourly_entropy",
+        # round-4 additions / changed paths
+        "events_synsq", "events_ncf_pitch", "events_wpt_rollup",
+        "events_swt", "events_stft_pitch", "events_pef_pitch",
+        "doc_pack_windows", "doc_stratified_sample",
+        "bm25_topk_phrase", "dedup_embedding_pairs",
+    }
+    out = round4_new_or_changed - window
+    assert not out, f"round-4-critical queries outside the driver window: {out}"
