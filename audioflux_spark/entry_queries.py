@@ -65,7 +65,29 @@ def _e6(col) -> F.Column:
     return F.round(col * F.lit(1000000.0)).cast("long")
 
 
-_READERS: dict[str, IndexReader] = {}
+def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
+    """Materialize-once cache keyed by (owning session, corpus dir).
+
+    A cached DataFrame's plan is bound to the SparkSession that created it;
+    if that session was stopped and a new one created in the same process
+    (multi-fixture test runs, driver re-init), replaying the cached plan
+    fails against a dead session. Entries therefore record their owner and
+    are rebuilt (old persist evicted best-effort) whenever the caller's
+    session differs."""
+    ent = cache.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    if ent is not None:
+        try:
+            ent[1].unpersist()
+        except Exception:
+            pass  # previous session already stopped; its cache died with it
+    df = build()
+    cache[sf_dir] = (spark, df)
+    return df
+
+
+_READERS: dict[str, tuple[SparkSession, IndexReader]] = {}
 
 
 _ENTRY_CFG = EngineConfig(index=IndexConfig(store_positions=True))
@@ -73,14 +95,18 @@ _ENTRY_CFG = EngineConfig(index=IndexConfig(store_positions=True))
 
 def _reader(spark: SparkSession, sf_dir: str) -> IndexReader:
     """Build (once per sf_dir, resumable) a POSITIONAL index over documents-
-    as-transcripts; cached across queries in the same session."""
-    if sf_dir not in _READERS:
-        tag = hashlib.md5(f"{sf_dir}:fmt4pos".encode()).hexdigest()[:10]
-        idx = os.path.join("/tmp/afspark_entry_idx", tag)
-        t = documents_as_transcripts(spark, sf_dir)
-        build_index(spark, t, idx, cfg=_ENTRY_CFG, resume=True)
-        _READERS[sf_dir] = IndexReader(spark, idx)
-    return _READERS[sf_dir]
+    as-transcripts; cached across queries in the same session (re-opened if
+    the owning session was replaced — the on-disk index itself is reused)."""
+    ent = _READERS.get(sf_dir)
+    if ent is not None and ent[0] is spark:
+        return ent[1]
+    tag = hashlib.md5(f"{sf_dir}:fmt4pos".encode()).hexdigest()[:10]
+    idx = os.path.join("/tmp/afspark_entry_idx", tag)
+    t = documents_as_transcripts(spark, sf_dir)
+    build_index(spark, t, idx, cfg=_ENTRY_CFG, resume=True)
+    reader = IndexReader(spark, idx)
+    _READERS[sf_dir] = (spark, reader)
+    return reader
 
 
 def _topk_to_docids(df: DataFrame) -> DataFrame:
@@ -156,15 +182,17 @@ def q_bm25_topk_lang_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_READERS: dict[str, tuple[IndexReader, IndexReader]] = {}
+_INCR_READERS: dict[str, tuple[SparkSession, IndexReader, IndexReader]] = {}
 
 
 def _incr_readers(spark: SparkSession, sf_dir: str) -> tuple[IndexReader, IndexReader]:
     """(two-generation reader, compacted reader) over the documents corpus
     split in half by doc_id — the incremental-maintenance correctness rig:
     generations and compaction must both answer EXACTLY like a one-shot
-    build (and therefore like the SQL oracle on the full corpus)."""
-    if sf_dir not in _INCR_READERS:
+    build (and therefore like the SQL oracle on the full corpus). Cached per
+    (session, sf_dir); the on-disk index is reused across sessions."""
+    ent = _INCR_READERS.get(sf_dir)
+    if ent is None or ent[0] is not spark:
         from audioflux_spark.streaming.incremental import add_generation, compact_index
 
         tag = hashlib.md5(f"{sf_dir}:incr-fmt4".encode()).hexdigest()[:10]
@@ -193,8 +221,8 @@ def _incr_readers(spark: SparkSession, sf_dir: str) -> tuple[IndexReader, IndexR
             comp = compact_index(spark, base, compacted, cfg=_ENTRY_CFG)
         else:
             comp = IndexReader(spark, compacted)
-        _INCR_READERS[sf_dir] = (multi, comp)
-    return _INCR_READERS[sf_dir]
+        _INCR_READERS[sf_dir] = (spark, multi, comp)
+    return _INCR_READERS[sf_dir][1], _INCR_READERS[sf_dir][2]
 
 
 def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +328,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DTOK_CACHE: dict[str, DataFrame] = {}
+_DTOK_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,13 +336,14 @@ def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     novelty query's consecutive-doc Jaccard references this table four
     times (two join sides + sizes), which re-tokenized the corpus per
     reference before persistence (same discipline as _shingles)."""
-    if sf_dir not in _DTOK_CACHE:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
-        _DTOK_CACHE[sf_dir] = (
-            _doc_tokens(spark, sf_dir).distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        )
-    return _DTOK_CACHE[sf_dir]
+    return _session_cached(
+        _DTOK_CACHE, spark, sf_dir,
+        lambda: _doc_tokens(spark, sf_dir)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK),
+    )
 
 
 def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +410,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: dict[str, DataFrame] = {}
+_SHINGLE_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -394,9 +423,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At corpus scale this table is written once per snapshot (the segments /
     IVF-artifact discipline); here MEMORY_AND_DISK persistence is the
     in-process equivalent."""
-    if sf_dir not in _SHINGLE_CACHE:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    def build() -> DataFrame:
         toks = _docs(spark, sf_dir).select(
             "doc_id", tokens_col("text").alias("toks")
         )
@@ -413,8 +442,9 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        _SHINGLE_CACHE[sf_dir] = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    return _SHINGLE_CACHE[sf_dir]
+        return sh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_SHINGLE_CACHE, spark, sf_dir, build)
 
 
 N_MINHASH = 8
@@ -504,7 +534,7 @@ def _jaccard_on_pairs(spark: SparkSession, sf_dir: str, pairs: DataFrame) -> Dat
     )
 
 
-_SCORED_PAIRS_CACHE: dict[str, DataFrame] = {}
+_SCORED_PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,13 +544,14 @@ def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     `scored` CTE, and without persistence the Spark side re-ran the banding
     self-join + verify once per downstream branch (6x inside
     dedup_canonical's label propagation)."""
-    if sf_dir not in _SCORED_PAIRS_CACHE:
-        from pyspark import StorageLevel
+    from pyspark import StorageLevel
 
+    def build() -> DataFrame:
         pairs = _lsh_candidate_pairs(spark, sf_dir)
         scored = _jaccard_on_pairs(spark, sf_dir, pairs)
-        _SCORED_PAIRS_CACHE[sf_dir] = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    return _SCORED_PAIRS_CACHE[sf_dir]
+        return scored.persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_SCORED_PAIRS_CACHE, spark, sf_dir, build)
 
 
 def q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +623,7 @@ SIMHASH_BANDS = 4            # 4 bands × 16 bits
 SIMHASH_HAMMING_MAX = 3      # ≤3 bit flips leave ≥1 band intact (pigeonhole)
 
 
-_SIMHASH_CACHE: dict[str, DataFrame] = {}
+_SIMHASH_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,35 +637,35 @@ def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     Materialized per corpus dir: the pairs query references the signature
     table three times (band self-join sides + Hamming verify), which
     re-tokenized the corpus once per reference before persistence."""
-    if sf_dir in _SIMHASH_CACHE:
-        return _SIMHASH_CACHE[sf_dir]
-    tok = (
-        _doc_tokens(spark, sf_dir)
-        .withColumn("h1", F.md5("term"))
-        .withColumn("h2", F.md5(F.concat(F.lit("simhash2|"), F.col("term"))))
-    )
-
-    def bit_src(b: int):
-        col, off = ("h1", b) if b < 32 else ("h2", b - 32)
-        return F.when(F.ascii(F.substring(col, off + 1, 1)) % 2 == 1, 1).otherwise(-1)
-
-    agg = tok.groupBy("doc_id").agg(
-        *[F.sum(bit_src(b)).alias(f"s{b}") for b in range(N_SIMHASH_BITS)]
-    )
-    bands = []
-    for j in range(SIMHASH_BANDS):
-        v = None
-        for i in range(16):
-            b = 16 * j + i
-            bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            v = bit if v is None else v + bit
-        bands.append(v.cast("long").alias(f"sim{j}"))
     from pyspark import StorageLevel
 
-    _SIMHASH_CACHE[sf_dir] = agg.select("doc_id", *bands).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    return _SIMHASH_CACHE[sf_dir]
+    def build() -> DataFrame:
+        tok = (
+            _doc_tokens(spark, sf_dir)
+            .withColumn("h1", F.md5("term"))
+            .withColumn("h2", F.md5(F.concat(F.lit("simhash2|"), F.col("term"))))
+        )
+
+        def bit_src(b: int):
+            col, off = ("h1", b) if b < 32 else ("h2", b - 32)
+            return F.when(
+                F.ascii(F.substring(col, off + 1, 1)) % 2 == 1, 1
+            ).otherwise(-1)
+
+        agg = tok.groupBy("doc_id").agg(
+            *[F.sum(bit_src(b)).alias(f"s{b}") for b in range(N_SIMHASH_BITS)]
+        )
+        bands = []
+        for j in range(SIMHASH_BANDS):
+            v = None
+            for i in range(16):
+                b = 16 * j + i
+                bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                v = bit if v is None else v + bit
+            bands.append(v.cast("long").alias(f"sim{j}"))
+        return agg.select("doc_id", *bands).persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_SIMHASH_CACHE, spark, sf_dir, build)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -780,15 +811,17 @@ ANN_NPROBE = 2
 ANN_TRAIN_SAMPLE = 2048  # deterministic bounded trainer sample (vec_id < n)
 
 
-_IVF_READERS: dict[str, object] = {}
+_IVF_READERS: dict[str, tuple[SparkSession, object]] = {}
 
 
 def _ivf_reader(spark: SparkSession, sf_dir: str):
     """Build-once/query-many: the IVF index (centroids + bucket-partitioned
     vectors) is a persisted artifact, like segments/docstore for BM25 —
     queries open the artifact instead of retraining k-means or re-collecting
-    a sample per call."""
-    if sf_dir not in _IVF_READERS:
+    a sample per call. Cached per (session, sf_dir); the artifact is reused
+    across sessions."""
+    ent = _IVF_READERS.get(sf_dir)
+    if ent is None or ent[0] is not spark:
         from audioflux_spark.operators.ann import IVFReader, build_ivf_index
 
         tag = hashlib.md5(
@@ -800,8 +833,8 @@ def _ivf_reader(spark: SparkSession, sf_dir: str):
                 spark, _emb(spark, sf_dir), path,
                 k=ANN_K_CENTROIDS, train_sample=ANN_TRAIN_SAMPLE,
             )
-        _IVF_READERS[sf_dir] = IVFReader(spark, path)
-    return _IVF_READERS[sf_dir]
+        _IVF_READERS[sf_dir] = (spark, IVFReader(spark, path))
+    return _IVF_READERS[sf_dir][1]
 
 
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1336,8 +1369,17 @@ def q_events_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.explode(
             F.array(
-                F.struct(F.lit("day").alias("level"), F.expr("b div 144").alias("cb")),
-                F.struct(F.lit("hour").alias("level"), F.expr("b div 6").alias("cb")),
+                # floor (not `div`, which truncates toward zero): keeps
+                # pre-epoch (negative) timestamps on the same bucket grid as
+                # per-level floor(t/86400) and the DuckDB twin's // operator
+                F.struct(
+                    F.lit("day").alias("level"),
+                    F.floor(F.col("b") / 144).alias("cb"),
+                ),
+                F.struct(
+                    F.lit("hour").alias("level"),
+                    F.floor(F.col("b") / 6).alias("cb"),
+                ),
                 F.struct(F.lit("min10").alias("level"), F.col("b").alias("cb")),
             )
         ).alias("z"),
@@ -2276,6 +2318,79 @@ def q_events_stft_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LHS_FUNDAMENTALS = (1, 2, 3)   # candidate fundamental bins j
+_LHS_HARMONICS = 3              # harmonics summed per candidate (k = 1..3)
+# DFT probe bins the estimator needs: every j*k product
+_LHS_BINS = tuple(sorted({j * k for j in _LHS_FUNDAMENTALS
+                          for k in range(1, _LHS_HARMONICS + 1)}))
+
+
+def q_events_lhs_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-harmonic-summation (LHS) pitch — the reference's last remaining
+    estimator (/root/reference/src/mir/_pitch_lhs.c:494-505: per candidate
+    bin j, sum the LOG-magnitude spectrum at j's harmonics j·(k+1), then
+    argmax, :528-533). Text analog over each event type's hourly count
+    series: DFT re/im at every needed probe bin j·k (the goertzel
+    contract), score(j) = Σ_{k=1..3} ln(1 + P(j·k)) with P from the
+    e6-rounded re/im, pitch = argmax (ties → smaller j).
+
+    Determinism: re/im are e6-rounded BIGINTs first (identical in both
+    engines); P and the log-sum are then doubles DERIVED FROM THOSE EXACT
+    INTEGERS, so both engines feed identical IEEE inputs to ln, and the
+    final e6 grid swallows last-ulp libm differences. One scan: hourly agg
+    → window index → one groupBy for all bins → explode candidates."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wp = Window.partitionBy("event_type")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("N"),
+    )
+    two_pi = F.lit(2.0 * math.pi)
+    aggs = []
+    for b in _LHS_BINS:
+        ang = two_pi * F.lit(float(b)) * F.col("i") / F.col("N")
+        aggs.append(_e6(F.sum(F.col("x") * F.cos(ang))).alias(f"re{b}"))
+        aggs.append(_e6(F.sum(F.col("x") * F.sin(ang))).alias(f"im{b}"))
+    spec = j.groupBy("event_type").agg(*aggs)
+
+    def p_of(b: int) -> F.Column:
+        re = F.col(f"re{b}").cast("double") / F.lit(1e6)
+        im = F.col(f"im{b}").cast("double") / F.lit(1e6)
+        return re * re + im * im
+
+    structs = [
+        F.struct(
+            F.lit(jf).cast("long").alias("bin"),
+            _e6(
+                sum(
+                    F.log(F.lit(1.0) + p_of(jf * k))
+                    for k in range(1, _LHS_HARMONICS + 1)
+                )
+            ).alias("lhs_e6"),
+        )
+        for jf in _LHS_FUNDAMENTALS
+    ]
+    cands = spec.select(
+        "event_type", F.explode(F.array(*structs)).alias("z")
+    ).select("event_type", "z.bin", "z.lhs_e6")
+    wr = Window.partitionBy("event_type").orderBy(F.desc("lhs_e6"), "bin")
+    return (
+        cands.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("bin").alias("pitch_bin"), "lhs_e6")
+        .orderBy("event_type")
+    )
+
+
 PACK_CAP = 512          # tokens per training window
 PACK_BUCKET_W = 256     # doc_ids per prefix-sum bucket (→ N/256 driver longs)
 
@@ -2303,19 +2418,25 @@ def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket_tot = (
         d.groupBy("bucket").agg(F.sum("len").alias("btot")).collect()
     )
-    offs: dict[int, int] = {}
+    offs: list[tuple[int, int]] = []
     run = 0
     for r in sorted(bucket_tot, key=lambda r: r["bucket"]):
-        offs[int(r["bucket"])] = run
+        offs.append((int(r["bucket"]), run))
         run += int(r["btot"])
-    off_map = F.create_map(
-        *[x for b, o in offs.items() for x in (F.lit(b), F.lit(o))]
-    )
+    # offsets ship back as a BROADCAST-joined side table, not a create_map
+    # literal: a map literal serializes every (bucket, offset) entry into
+    # the plan/codegen, which at the N/256-entry scale above (~10^4-10^6)
+    # is a plan-size bomb; the broadcast hash join stays O(1) in plan size
+    off_df = spark.createDataFrame(offs, "bucket long, bucket_off long")
     wb = Window.partitionBy("bucket").orderBy("doc_id")
-    cum = d.withColumn(
-        "cum_before",
-        off_map[F.col("bucket")] + F.sum("len").over(wb) - F.col("len"),
-    ).withColumn("window_id", F.expr(f"cum_before div {PACK_CAP}"))
+    cum = (
+        d.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "cum_before",
+            F.col("bucket_off") + F.sum("len").over(wb) - F.col("len"),
+        )
+        .withColumn("window_id", F.expr(f"cum_before div {PACK_CAP}"))
+    )
     return (
         cum.groupBy("window_id")
         .agg(
@@ -3333,6 +3454,51 @@ FROM buckets GROUP BY event_type, r ORDER BY event_type, r
                "SELECT event_type, CAST(bin AS BIGINT) AS pitch_bin, re_e6, im_e6",
                "FROM ranked WHERE rn = 1 ORDER BY event_type"]
         ),
+        "events_lhs_pitch": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),",
+             "idx AS (",
+             "  SELECT event_type, x,",
+             "         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i",
+             "  FROM hourly",
+             "),",
+             "tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type),",
+             "spec AS (",
+             "  SELECT idx.event_type,"]
+            + [
+                f"         CAST(ROUND(sum(x * cos(2 * pi() * {b} * i / N)) * 1000000) AS BIGINT) AS re{b},\n"
+                f"         CAST(ROUND(sum(x * sin(2 * pi() * {b} * i / N)) * 1000000) AS BIGINT) AS im{b},"
+                for b in _LHS_BINS
+            ]
+            + ["         1 AS _d",
+               "  FROM idx JOIN tot USING (event_type) GROUP BY idx.event_type",
+               "),",
+               "cands AS (",
+               "  "
+               + " UNION ALL ".join(
+                   "SELECT event_type, {j} AS bin, CAST(ROUND(({terms}) * 1000000) AS BIGINT)"
+                   " AS lhs_e6 FROM spec".format(
+                       j=jf,
+                       terms=" + ".join(
+                           f"ln(1 + (re{jf * k}::DOUBLE / 1000000)"
+                           f" * (re{jf * k}::DOUBLE / 1000000)"
+                           f" + (im{jf * k}::DOUBLE / 1000000)"
+                           f" * (im{jf * k}::DOUBLE / 1000000))"
+                           for k in range(1, _LHS_HARMONICS + 1)
+                       ),
+                   )
+                   for jf in _LHS_FUNDAMENTALS
+               ),
+               "),",
+               "ranked AS (",
+               "  SELECT event_type, bin, lhs_e6,",
+               "         row_number() OVER (PARTITION BY event_type",
+               "                            ORDER BY lhs_e6 DESC, bin) AS rn",
+               "  FROM cands",
+               ")",
+               "SELECT event_type, CAST(bin AS BIGINT) AS pitch_bin, lhs_e6",
+               "FROM ranked WHERE rn = 1 ORDER BY event_type"]
+        ),
         "doc_pack_windows": f"""
 WITH tok AS ({_TOK_SQL}),
 c AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id),
@@ -3702,11 +3868,22 @@ GROUP BY tf.doc_id, mx.max_tf, mx.sum_tf2 ORDER BY tf.doc_id
 
 def queries():
     # ORDER MATTERS: the driver's correctness harness samples the FIRST 50
-    # entries. Rows needing a fresh driver-green artifact (newly added or
-    # changed this round, or never driver-verified) sit inside the window;
-    # simple rows with 2-3 rounds of green driver history are parked at the
-    # tail (they remain covered by the in-repo DuckDB-parity suite,
-    # tests/test_entry_contract.py, which runs ALL entries).
+    # entries. Window policy (two rules, guarded by
+    # tests/test_entry_contract.py::test_driver_window_composition):
+    #   1. NEW-OR-CHANGED: every query added or whose plan changed in the
+    #      current round sits inside the window — it must earn a fresh
+    #      driver-green artifact before it can ever rotate out.
+    #   2. ROTATION: the window's remaining slots go to the entries with
+    #      the OLDEST driver-green artifact, so every registry entry is
+    #      driver-re-verified at least every 2 rounds. Entries parked at
+    #      the tail always carry a PREVIOUS-round driver-green row and stay
+    #      covered by the in-repo DuckDB-parity suite, which runs ALL
+    #      entries (tests/test_entry_contract.py).
+    # Round 5: in-window = new/changed (events_lhs_pitch, dedup_decontaminate
+    # — r4 slip, doc_pack_windows — offsets now broadcast-joined,
+    # events_rollup_pyramid — floor-div fix) + the 21 tail rows whose last
+    # driver row is r1-r3 + the always-rotating multi-stage paths; parked =
+    # the r3/r4 transform family, all driver-green in r4.
     return {
         # -- flagship serving paths (always in-window)
         "bm25_topk_hot": q_bm25_topk_hot,
@@ -3716,7 +3893,54 @@ def queries():
         "bm25_topk_phrase": q_bm25_topk_phrase,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_compacted": q_bm25_topk_compacted,
-        # -- round-3 transform family (in-repo green, no driver row yet)
+        # -- round-5 new or changed (rule 1)
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "events_lhs_pitch": q_events_lhs_pitch,
+        "doc_pack_windows": q_doc_pack_windows,
+        "events_rollup_pyramid": q_events_rollup_pyramid,
+        # -- rotation: last driver row is r1-r3 (rule 2)
+        "events_sliding_median": q_events_sliding_median,
+        "events_mkl": q_events_mkl,
+        "events_resample": q_events_resample,
+        "events_fir": q_events_fir,
+        "term_entropy": q_term_entropy,
+        "term_doc_freqs": q_term_doc_freqs,
+        "doc_lengths": q_doc_lengths,
+        "corpus_stats": q_corpus_stats,
+        "top_docs_by_len": q_top_docs_by_len,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_fingerprint": q_token_fingerprint,
+        "embedding_norms": q_embedding_norms,
+        "events_hourly": q_events_hourly,
+        "events_user_topk": q_events_user_topk,
+        "events_value_zscore": q_events_value_zscore,
+        "events_sliding_max": q_events_sliding_max,
+        "events_delta_stats": q_events_delta_stats,
+        "events_xcorr": q_events_xcorr,
+        "events_delta_regression": q_events_delta_regression,
+        "source_novelty": q_source_novelty,
+        # -- complex multi-stage paths worth re-verifying every round
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_canonical": q_dedup_canonical,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_ivf_label": q_ann_ivf_label,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "events_sessionize": q_events_sessionize,
+        "viterbi_states": q_viterbi_states,
+        "nmf_topics": q_nmf_topics,
+        "hmm_fit": q_hmm_fit,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
+        "analyzer_family": q_analyzer_family,
+        "ngram_multires": q_ngram_multires,
+        # ---------------- driver window boundary (entry 50 ends above) ----
+        # -- parked this round: all driver-green in CORRECTNESS_r04.json
         "events_dct": q_events_dct,
         "events_goertzel": q_events_goertzel,
         "events_czt": q_events_czt,
@@ -3732,62 +3956,16 @@ def queries():
         "doc_rolloff": q_doc_rolloff,
         "events_yin_trough": q_events_yin_trough,
         "events_hourly_entropy": q_events_hourly_entropy,
-        # -- round-4 additions
         "events_synsq": q_events_synsq,
         "events_ncf_pitch": q_events_ncf_pitch,
         "events_wpt_rollup": q_events_wpt_rollup,
         "events_swt": q_events_swt,
         "events_stft_pitch": q_events_stft_pitch,
         "events_pef_pitch": q_events_pef_pitch,
-        "doc_pack_windows": q_doc_pack_windows,
         "doc_stratified_sample": q_doc_stratified_sample,
-        # -- complex multi-stage paths worth re-verifying every round
-        "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
-        "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_canonical": q_dedup_canonical,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
-        "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_ivf_label": q_ann_ivf_label,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "events_sessionize": q_events_sessionize,
-        "viterbi_states": q_viterbi_states,
-        "nmf_topics": q_nmf_topics,
-        "hmm_fit": q_hmm_fit,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "doc_tf_stats": q_doc_tf_stats,
         "doc_tf_moments": q_doc_tf_moments,
         "doc_tf_shape": q_doc_tf_shape,
-        "analyzer_family": q_analyzer_family,
-        "ngram_multires": q_ngram_multires,
-        "events_rollup_pyramid": q_events_rollup_pyramid,
-        # ---------------- driver window boundary (entry 50 ends above) ----
-        # -- multi-round-stable simple rows (driver-green r1-r3)
-        "events_sliding_median": q_events_sliding_median,
-        "events_mkl": q_events_mkl,
-        "events_resample": q_events_resample,
-        "events_fir": q_events_fir,
-        "term_entropy": q_term_entropy,
-        "term_doc_freqs": q_term_doc_freqs,
-        "doc_lengths": q_doc_lengths,
-        "corpus_stats": q_corpus_stats,
-        "top_docs_by_len": q_top_docs_by_len,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_fingerprint": q_token_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_decontaminate": q_dedup_decontaminate,
-        "dedup_minhash": q_dedup_minhash,
-        "embedding_norms": q_embedding_norms,
-        "events_hourly": q_events_hourly,
-        "events_user_topk": q_events_user_topk,
-        "events_value_zscore": q_events_value_zscore,
-        "events_sliding_max": q_events_sliding_max,
-        "events_delta_stats": q_events_delta_stats,
-        "events_xcorr": q_events_xcorr,
-        "events_delta_regression": q_events_delta_regression,
-        "source_novelty": q_source_novelty,
     }
 
 

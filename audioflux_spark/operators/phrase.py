@@ -205,7 +205,10 @@ def phrase_hits(
         )
 
     def match_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        # one C-level conversion, not a per-row .iloc loop (the kernel wants
+        # one mapping per segment row; the row count is bounded by
+        # terms x generations per shard, but the discipline is uniform)
+        rows = pdf.to_dict("records")
         doc_ids, scores = phrase_match_kernel(
             rows, terms, n_docs, avgdl, k1, b, idfs,
             doc_lo=int(pdf["range_lo"].iloc[0]),

@@ -279,8 +279,7 @@ def _make_shard_splitter(gen_ndocs: dict[int, int], shard_docs: int,
             # loop over SEGMENT rows (per-term metadata — bounded by query
             # terms × generations, not by postings); all per-posting work
             # inside is numpy slicing on flat buffers
-            for ri in range(len(pdf)):
-                row = pdf.iloc[ri]
+            for row in pdf.to_dict("records"):
                 gen = int(row["gen"])
                 n_docs_g = gen_ndocs.get(gen, 0)
                 n_shards = max((n_docs_g + shard_docs - 1) // shard_docs, 1)
@@ -435,7 +434,7 @@ def _sharded_hits(
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         k = int(pdf["k"].iloc[0])
         gen_id = int(pdf["gen"].iloc[0])
-        rows = [pdf.iloc[i] for i in range(len(pdf))]
+        rows = pdf.to_dict("records")  # one C-level conversion, no .iloc loop
         idfs = [idf_value(n_docs, int(r["gdf"])) for r in rows]
         ga = gen_avgdl.get(gen_id, avgdl)
         ub_scale = max(1.0, avgdl / ga) if ga else 1.0

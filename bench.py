@@ -65,7 +65,17 @@ _PROBE_CODE = (
     "print(time.perf_counter()-t)"
 )
 
+# contamination disclosure threshold for a whole measurement (build
+# headline); calibration on this host (same code, three windows): build
+# 13.1 s at probe 1.11, 17.7 s at 1.25, 29.6 s at 1.33 — so 1.3 marks
+# "the number measures the host"
 PROBE_CONTAMINATION_THRESHOLD = 1.3
+# per-PAIR acceptance for the scaling gate is stricter: the same
+# calibration shows a leg at probe ~1.2 can be ~35% slow, which moves a
+# pair's efficiency by itself (r4: a "valid" pair at probe 1.232 read
+# 0.603 on code whose clean-window scaling is 0.997) — only pairs whose
+# during-leg mean probe stays at near-idle levels measure the ENGINE
+PAIR_PROBE_THRESHOLD = 1.15
 
 
 def _probe_run(pin: str) -> float:
@@ -73,13 +83,19 @@ def _probe_run(pin: str) -> float:
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", pin, *cmd]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-    return float(out.stdout.strip().splitlines()[-1])
+    lines = out.stdout.strip().splitlines()
+    if not lines:  # taskset refused the pin / interpreter died
+        raise RuntimeError(f"probe produced no output (pin {pin}): {out.stderr[-200:]}")
+    return float(lines[-1])
 
 
 def probe_ratio(nworkers: int = 4, cpu0: int = 0) -> float:
     """nworkers-way-vs-solo ALU slowdown on cpus [cpu0, cpu0+nworkers)."""
     import concurrent.futures as cf
 
+    ncpu = os.cpu_count() or 1
+    nworkers = max(1, min(nworkers, ncpu))
+    cpu0 = min(cpu0, max(ncpu - nworkers, 0))  # keep every pin on a real CPU
     solo = _probe_run(str(cpu0))
     with cf.ThreadPoolExecutor(max_workers=nworkers) as ex:
         par = list(ex.map(_probe_run, [str(cpu0 + i) for i in range(nworkers)]))
@@ -111,8 +127,17 @@ def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
     # documented hour-scale hypervisor-steal windows; probe time is outside
     # every timed section.
     probes: list[float] = []
+
+    def _snap() -> None:
+        # a probe failure must degrade to an undisclosed-probe result, not
+        # abort the measurement (the scaling legs already do this)
+        try:
+            probes.append(probe_ratio(4))
+        except Exception:
+            pass
+
     if probe:
-        probes.append(probe_ratio(4))
+        _snap()
     best = float("inf")
     for r in range(repeats):
         shutil.rmtree(index_dir, ignore_errors=True)
@@ -121,11 +146,11 @@ def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
         build_index(spark, t, index_dir, resume=False)
         best = min(best, time.perf_counter() - t0)
         if probe:
-            probes.append(probe_ratio(4))
+            _snap()
     spark.stop()
     out = {"cores": cores, "turns": n_turns, "build_sec": best,
            "turns_per_sec": n_turns / best}
-    if probe:
+    if probe and probes:
         out["probe_snapshots"] = [round(p, 3) for p in probes]
         out["probe_max"] = round(max(probes), 3)
         out["contaminated"] = max(probes) > PROBE_CONTAMINATION_THRESHOLD
@@ -133,6 +158,9 @@ def _build_once(cores: int, fixture_dir: str, index_dir: str, repeats: int = 2,
             out["loadavg_1m"] = round(os.getloadavg()[0], 2)
         except OSError:
             pass
+    elif probe:
+        out["contaminated"] = True  # probe machinery unavailable: can't clear it
+        out["probe_error"] = "probe unavailable"
     return out
 
 
@@ -161,7 +189,31 @@ def main() -> None:
     queries_sec: dict[str, float] = {}
 
     # ---- build throughput at full parallelism ----
-    build = _build_once(CPUS, fx, "/tmp/afspark_bench_idx_main", probe=True)
+    # bounded retries until a CLEAN-probe measurement lands: the host's
+    # steal windows open and close on minute scale (r4's own snapshots read
+    # 1.343 / 0.917 / 1.084 within one attempt), so a short back-off and
+    # re-measure usually clears the window; the contaminated attempts are
+    # disclosed either way
+    build_attempts_max = int(os.environ.get("AFSPARK_BUILD_ATTEMPTS", "4"))
+    attempts: list[dict] = []
+    for att in range(build_attempts_max):
+        b = _build_once(CPUS, fx, "/tmp/afspark_bench_idx_main", probe=True)
+        attempts.append(b)
+        if not b.get("contaminated", True):
+            break
+        if att < build_attempts_max - 1:
+            time.sleep(15)  # let the steal window move on before retrying
+    clean = [b for b in attempts if not b.get("contaminated", True)]
+    # a clean attempt wins; otherwise the least-contaminated one, flagged
+    build = clean[0] if clean else min(
+        attempts, key=lambda b: b.get("probe_max", float("inf"))
+    )
+    results["build_attempts"] = [
+        {"build_sec": round(b["build_sec"], 3),
+         "probe_max": b.get("probe_max"),
+         "contaminated": b.get("contaminated", True)}
+        for b in attempts
+    ]
     results["build_sec"] = round(build["build_sec"], 3)
     results["turns"] = build["turns"]
     results["turns_per_sec"] = round(build["turns_per_sec"], 1)
@@ -330,13 +382,15 @@ def main() -> None:
             # superlinear pairs are physically impossible for this workload —
             # they mean the host's speed changed WITHIN the pair (observed: a
             # 6x slow window during one 1-core run made a pair read "1.82");
-            # probe > 1.3 means the host's MEAN availability during a leg
-            # was degraded: continuous in-cache-ALU sampling on spare cores
-            # while each leg runs, averaged over the leg (duration-
-            # proportional, like contamination's effect on the measured
-            # wall time). Contaminated pairs are disclosed but never
-            # reported.
-            return e <= 1.02 and probe <= 1.3
+            # probe > PAIR_PROBE_THRESHOLD (1.15) means the host's MEAN
+            # availability during a leg was degraded: continuous in-cache-ALU
+            # sampling on spare cores while each leg runs, averaged over the
+            # leg. The old 1.3 cutoff admitted pairs whose reading was pure
+            # steal (r4: 0.603 at probe 1.232, same code 0.997 clean) — the
+            # three-point calibration in BENCH/BASELINE.md (13.1 s @ 1.11,
+            # 17.7 s @ 1.25, 29.6 s @ 1.33) puts the knee just above 1.15.
+            # Contaminated pairs are disclosed but never reported.
+            return e <= 1.02 and probe <= PAIR_PROBE_THRESHOLD
 
         def _median_valid() -> float:
             effs = [p[2] for p in pairs if _valid(p[2], p[3])]
@@ -368,11 +422,23 @@ def main() -> None:
             if elapsed > 2 * budget_s:
                 break  # hard stop even without 2 valid pairs
         valid = [p for p in pairs if _valid(p[2], p[3])]
-        eff = (statistics.median([p[2] for p in valid]) if valid
-               else statistics.median([p[2] for p in pairs]))
-        # representative legs for the headline tps: the valid pair whose
+        # fallback tiers, strictly disclosed: if no pair met the clean
+        # 1.15 bar, fall back to the old 1.3 bar (measurement quality is
+        # then r4-grade: directionally useful, gate-weak); if even that is
+        # empty, the median-of-all measures the HOST, not the engine
+        loose = [
+            p for p in pairs
+            if p[2] <= 1.02 and p[3] <= PROBE_CONTAMINATION_THRESHOLD
+        ]
+        if valid:
+            tier, pool = "clean_pairs", valid
+        elif loose:
+            tier, pool = "loose_probe_pairs", loose
+        else:
+            tier, pool = "contaminated_pairs", pairs
+        eff = statistics.median([p[2] for p in pool])
+        # representative legs for the headline tps: the pool pair whose
         # efficiency is closest to the reported median
-        pool = valid if valid else pairs
         r_low, r_high, _e, _pr = min(pool, key=lambda p: abs(p[2] - eff))
         tp_low, tp_high = r_low["turns_per_sec"], r_high["turns_per_sec"]
         results["scaling"] = {
@@ -381,13 +447,10 @@ def main() -> None:
             "turns_per_sec_low": round(tp_low, 1),
             "turns_per_sec_high": round(tp_high, 1),
             "efficiency": round(eff, 3),
-            "statistic": "median_of_valid_pairs",
+            "statistic": f"median_of_{tier}",
+            "pair_probe_threshold": PAIR_PROBE_THRESHOLD,
             "n_valid_pairs": len(valid),
-            # zero valid pairs = every pair ran inside a hypervisor-steal
-            # window (host probe saw ALU slowdown on spare cores with the VM
-            # itself idle); the fallback median-of-all measures the HOST,
-            # not the engine — see BENCH/BASELINE.md for clean-window runs
-            "all_pairs_contaminated": not valid,
+            "all_pairs_contaminated": tier == "contaminated_pairs",
             # every pair disclosed — the reported efficiency is the median of
             # same-conditions valid pairs, not a best-of-N composite
             "pairs": [

@@ -78,18 +78,28 @@ def test_driver_window_composition():
     missing = [q for q in qs if q not in osql]
     assert not missing, f"entries without an oracle twin: {missing}"
     window = set(qs[:50])
-    round4_new_or_changed = {
-        # round-3 transforms that had never been driver-sampled
-        "events_dct", "events_goertzel", "events_czt", "events_stransform",
-        "events_hilbert", "events_reassign", "events_scalogram",
-        "events_cepstrogram", "doc_tristimulus", "doc_hps",
-        "doc_envelope_residue", "doc_cepstrum", "doc_rolloff",
-        "events_yin_trough", "events_hourly_entropy",
-        # round-4 additions / changed paths
-        "events_synsq", "events_ncf_pitch", "events_wpt_rollup",
-        "events_swt", "events_stft_pitch", "events_pef_pitch",
-        "doc_pack_windows", "doc_stratified_sample",
-        "bm25_topk_phrase", "dedup_embedding_pairs",
+    round5_new_or_changed = {
+        # new this round
+        "events_lhs_pitch",
+        # round-4 addition that slipped past the window policy (VERDICT r4)
+        "dedup_decontaminate",
+        # plans changed this round: offsets broadcast-joined / floor-div fix
+        "doc_pack_windows", "events_rollup_pyramid",
+        # phrase kernel input vectorized this round
+        "bm25_topk_phrase",
     }
-    out = round4_new_or_changed - window
-    assert not out, f"round-4-critical queries outside the driver window: {out}"
+    out = round5_new_or_changed - window
+    assert not out, f"round-5-critical queries outside the driver window: {out}"
+    # rotation rule: entries whose last driver-green artifact is r1-r3 must
+    # re-enter the window this round (tail slots go to oldest history)
+    stale_after_r4 = {
+        "events_sliding_median", "events_mkl", "events_resample",
+        "events_fir", "term_entropy", "term_doc_freqs", "doc_lengths",
+        "corpus_stats", "top_docs_by_len", "text_quality", "lang_id",
+        "token_fingerprint", "embedding_norms", "events_hourly",
+        "events_user_topk", "events_value_zscore", "events_sliding_max",
+        "events_delta_stats", "events_xcorr", "events_delta_regression",
+        "source_novelty", "dedup_exact", "dedup_minhash",
+    }
+    stale_out = stale_after_r4 - window
+    assert not stale_out, f"stale-history queries left outside window: {stale_out}"

@@ -19,6 +19,11 @@ FORBIDDEN = [
     (re.compile(r"\.itertuples\s*\("), ".itertuples() — per-row Python"),
     (re.compile(r"\bF\.udf\s*\("), "F.udf — row-at-a-time pyspark UDF"),
     (re.compile(r"@udf\b"), "@udf — row-at-a-time pyspark UDF"),
+    # .iloc[i] / .iloc[ri] style per-row extraction inside a Python loop;
+    # constant .iloc[0] (scalar broadcast) and array-index .iloc[np.lexsort]
+    # (vectorized fancy indexing) remain allowed
+    (re.compile(r"\.iloc\[\s*[A-Za-z_]\w*\s*\]"),
+     ".iloc[<var>] — per-row extraction loop"),
 ]
 
 
