@@ -96,12 +96,49 @@ def _decode_image(payload: bytes, width: int, height: int, channels: int) -> np.
             warnings.warn("payload not decodable by PIL; using deterministic fake")
     except ImportError:
         pass
+    if payload[:2] in (b"P6", b"P5"):  # stdlib netpbm path, like WAV's RIFF
+        try:
+            return _decode_ppm(payload)
+        except Exception:
+            import warnings
+
+            warnings.warn("netpbm payload not decodable; using deterministic fake")
     # deterministic fake: shape from metadata, values from payload digest.
     # (Arrow structs with nullable int fields arrive as floats in pandas —
     # coerce explicitly.)
     return _digest_rng(payload).integers(
         0, 256, size=(int(height), int(width), int(channels)), dtype=np.uint8
     )
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of binary PPM (P6) / PGM (P5) via pure stdlib parsing —
+    no external dependency (the netpbm header is magic, then
+    whitespace-separated width/height/maxval with '#' comments, then one
+    raw sample block). Returns HxWx3 (P6) or HxWx1 (P5) uint8."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary netpbm payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    nch = 3 if payload[:2] == b"P6" else 1
+    n = width * height * nch
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return arr.reshape(height, width, nch)
 
 
 def _decode_wav_pcm(payload: bytes) -> np.ndarray:

@@ -80,7 +80,7 @@ def test_driver_window_composition():
     window = set(qs[:50])
     round5_new_or_changed = {
         # new this round
-        "events_lhs_pitch",
+        "events_lhs_pitch", "events_nsgt", "events_pwt",
         # round-4 addition that slipped past the window policy (VERDICT r4)
         "dedup_decontaminate",
         # plans changed this round: offsets broadcast-joined / floor-div fix
@@ -103,3 +103,28 @@ def test_driver_window_composition():
     }
     stale_out = stale_after_r4 - window
     assert not stale_out, f"stale-history queries left outside window: {stale_out}"
+
+
+def test_materialized_artifact_reuse(spark):
+    """The shingle/scored-pair subtrees are ON-DISK per-corpus artifacts
+    (manifest written last): a second invocation — even with the in-session
+    persist caches dropped — must reuse the artifact (manifest untouched)
+    and return identical values."""
+    import glob
+    import os
+
+    import audioflux_spark.entry_queries as eq
+
+    q = entry_mod.queries()["dedup_shingle_jaccard"]
+    first = _normalize(q(spark, SF_DIR).toPandas())
+    manifests = [
+        m for m in glob.glob(os.path.join(eq._MAT_ROOT, "mat_*", "manifest.json"))
+    ]
+    assert manifests, "no materialization manifest written"
+    mtimes = {m: os.path.getmtime(m) for m in manifests}
+    eq._SHINGLE_CACHE.clear()
+    eq._SCORED_PAIRS_CACHE.clear()
+    second = _normalize(q(spark, SF_DIR).toPandas())
+    assert first.equals(second)
+    for m, t in mtimes.items():
+        assert os.path.getmtime(m) == t, f"artifact rebuilt instead of reused: {m}"
