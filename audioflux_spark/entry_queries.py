@@ -1766,6 +1766,136 @@ def q_events_nsgt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASE_FRAMES = 8  # target frame count for the phase queries' tiling
+
+
+def _frame_bin1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tiling for the phase-domain queries: each event type's hourly
+    series cut into ~8 consecutive frames (L = max(ceil(N/8), 3)), one DFT
+    atom per frame at one cycle/frame (the events_nsgt machinery, single
+    band). Returns (event_type, frame, re_e6, im_e6) — e6-rounded FIRST so
+    every downstream phase/magnitude is computed from identical integers in
+    both engines."""
+    import math
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    j = hourly.select(
+        "event_type", "x",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("N"),
+    )
+    L = F.greatest(
+        F.floor((F.col("N") + _PHASE_FRAMES - 1) / _PHASE_FRAMES), F.lit(3)
+    ).cast("long")
+    f = j.withColumn("L", L).select(
+        "event_type", "x", "L",
+        F.floor(F.col("i") / F.col("L")).alias("frame"),
+        (F.col("i") % F.col("L")).alias("r"),
+    )
+    ang = F.lit(2.0 * math.pi) * F.col("r") / F.col("L")
+    return f.groupBy("event_type", "frame").agg(
+        _e6(F.sum(F.col("x") * F.cos(ang))).alias("re_e6"),
+        _e6(F.sum(F.col("x") * F.sin(ang))).alias("im_e6"),
+    )
+
+
+def q_events_phase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-domain onset novelty — the reference's pd/wpd and cd detectors
+    (/root/reference/src/flux_spectral.c:557-625 spectral_pd family analogs: phase deviation = second
+    difference of the per-frame phase, weighted variant scales by magnitude,
+    complex domain = distance to the phase-predicted spectrum). Per event
+    type over the frame series of _frame_bin1:
+
+      φ'' = φ_f − 2φ_{f−1} + φ_{f−2}, wrapped to (−π, π]
+      pd  = mean |wrap(φ'')|
+      wpd = Σ m_f·|wrap(φ'')| / Σ m_f
+      cd  = Σ |X_f − m_{f−1}·e^{i(2φ_{f−1}−φ_{f−2})}|
+
+    Determinism: φ and m derive from the e6-rounded re/im integers (both
+    engines feed atan2/sqrt identical IEEE doubles); the wrap uses
+    x − 2π·floor(x/2π + 1/2) — floor, never round, because the engines'
+    round() tie rules differ."""
+    import math
+
+    two_pi = 2.0 * math.pi
+    fr = _frame_bin1(spark, sf_dir)
+    re = F.col("re_e6").cast("double") / F.lit(1e6)
+    im = F.col("im_e6").cast("double") / F.lit(1e6)
+    base = fr.select(
+        "event_type", "frame",
+        re.alias("re"), im.alias("im"),
+        F.atan2(im, re).alias("phi"),
+        F.sqrt(re * re + im * im).alias("mag"),
+    )
+    w = Window.partitionBy("event_type").orderBy("frame")
+    lagged = base.select(
+        "event_type", "frame", "re", "im", "phi", "mag",
+        F.lag("phi", 1).over(w).alias("phi1"),
+        F.lag("phi", 2).over(w).alias("phi2"),
+        F.lag("mag", 1).over(w).alias("mag1"),
+    ).filter(F.col("phi2").isNotNull())
+    dd = F.col("phi") - 2 * F.col("phi1") + F.col("phi2")
+    wrapped = dd - F.lit(two_pi) * F.floor(dd / F.lit(two_pi) + F.lit(0.5))
+    pred_ang = 2 * F.col("phi1") - F.col("phi2")
+    dre = F.col("re") - F.col("mag1") * F.cos(pred_ang)
+    dim = F.col("im") - F.col("mag1") * F.sin(pred_ang)
+    scored = lagged.select(
+        "event_type", "mag",
+        F.abs(wrapped).alias("dev"),
+        F.sqrt(dre * dre + dim * dim).alias("cdist"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            _e6(F.avg("dev")).alias("pd_e6"),
+            _e6(F.sum(F.col("mag") * F.col("dev")) / F.sum("mag")).alias("wpd_e6"),
+            _e6(F.sum("cdist")).alias("cd_e6"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_phase_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase unwrap (/root/reference/src/vector/flux_vector.c:877-903 __munwrap):
+    the per-frame phase series made continuous by subtracting 2π·k at every
+    jump — k accumulates via a window CUMSUM of per-step jump counts
+    floor(Δφ/2π + 1/2), the distributed form of the sequential unwrap loop.
+    Emits the raw and unwrapped phase per frame (e6)."""
+    import math
+
+    two_pi = 2.0 * math.pi
+    fr = _frame_bin1(spark, sf_dir)
+    re = F.col("re_e6").cast("double") / F.lit(1e6)
+    im = F.col("im_e6").cast("double") / F.lit(1e6)
+    base = fr.select("event_type", "frame", F.atan2(im, re).alias("phi"))
+    w = Window.partitionBy("event_type").orderBy("frame")
+    d = F.col("phi") - F.lag("phi", 1).over(w)
+    stepped = base.withColumn(
+        "k", F.when(d.isNull(), F.lit(0)).otherwise(
+            F.floor(d / F.lit(two_pi) + F.lit(0.5))
+        )
+    )
+    cum = stepped.withColumn(
+        "c", F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        cum.select(
+            "event_type",
+            F.col("frame").cast("long").alias("frame"),
+            _e6(F.col("phi")).alias("phase_e6"),
+            _e6(F.col("phi") - F.lit(two_pi) * F.col("c")).alias("unwrap_e6"),
+        )
+        .orderBy("event_type", "frame")
+    )
+
+
 _PWT_CENTERS = (1, 2, 4)  # log-spaced band centers (binPerOctave analog)
 _PWT_PROBE_BINS = (1, 2, 3, 4, 5, 6)
 
@@ -2146,7 +2276,11 @@ def q_events_synsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsst_algorithm.c: the CWT's energy is moved from each (scale, bin) to
     the locally-estimated center before summing). Per scale, each bin's
     energy m = y² moves to the local energy centroid of its ±1-bin
-    neighborhood; mass is re-aggregated at the squeezed bin.
+    neighborhood; mass is re-aggregated at the squeezed bin. NOTE: the
+    "±1-bin" neighbors are ROW-adjacent over the hourly series (lag/lead),
+    so across a gap in hours the neighbor is the previous/next EXISTING
+    bin, not h∓1 — a sparse-series convention the DuckDB twin shares
+    (identical lag/lead), so parity is by construction.
 
     Determinism: the Bartlett taper uses INTEGER weights (s+1−|j| — the
     normalization constant cancels inside the centroid ratio), so y, m and
@@ -3056,6 +3190,41 @@ ORDER BY vec_id_a, vec_id_b
     return out
 
 
+# shared frame-phase CTE prefix for the phase-domain oracles (twins
+# _frame_bin1: ~8 frames per event type, one DFT atom per frame at one
+# cycle/frame, re/im e6-rounded BEFORE any phase math)
+_PHASE_FRAME_SQL = f"""
+WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),
+idx AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i
+  FROM hourly
+),
+tot AS (SELECT event_type, count(*) AS N FROM hourly GROUP BY event_type),
+fr1 AS (
+  SELECT idx.event_type, x,
+         greatest((N + {_PHASE_FRAMES} - 1) // {_PHASE_FRAMES}, 3) AS L, i
+  FROM idx JOIN tot USING (event_type)
+),
+fr2 AS (SELECT event_type, x, L, i // L AS frame, i % L AS r FROM fr1),
+fr AS (
+  SELECT event_type, frame,
+         CAST(ROUND(sum(x * cos(2 * pi() * r / L)) * 1000000) AS BIGINT) AS re_e6,
+         CAST(ROUND(sum(x * sin(2 * pi() * r / L)) * 1000000) AS BIGINT) AS im_e6
+  FROM fr2 GROUP BY event_type, frame
+),
+ph AS (
+  SELECT event_type, frame,
+         re_e6::DOUBLE / 1000000 AS re, im_e6::DOUBLE / 1000000 AS im,
+         atan2(im_e6::DOUBLE / 1000000, re_e6::DOUBLE / 1000000) AS phi,
+         sqrt((re_e6::DOUBLE / 1000000) * (re_e6::DOUBLE / 1000000)
+              + (im_e6::DOUBLE / 1000000) * (im_e6::DOUBLE / 1000000)) AS mag
+  FROM fr
+),
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     import math
 
@@ -3704,6 +3873,46 @@ SELECT event_type, CAST(band AS BIGINT) AS band, CAST(frame AS BIGINT) AS frame,
 FROM f GROUP BY event_type, band, frame
 ORDER BY event_type, band, frame
 """,
+        "events_phase_novelty": _PHASE_FRAME_SQL + """
+lg AS (
+  SELECT event_type, frame, re, im, phi, mag,
+         lag(phi, 1) OVER w AS phi1, lag(phi, 2) OVER w AS phi2,
+         lag(mag, 1) OVER w AS mag1
+  FROM ph WINDOW w AS (PARTITION BY event_type ORDER BY frame)
+),
+sc AS (
+  SELECT event_type, mag,
+         abs((phi - 2 * phi1 + phi2)
+             - 2 * pi() * floor((phi - 2 * phi1 + phi2) / (2 * pi()) + 0.5)) AS dev,
+         sqrt((re - mag1 * cos(2 * phi1 - phi2)) * (re - mag1 * cos(2 * phi1 - phi2))
+              + (im - mag1 * sin(2 * phi1 - phi2)) * (im - mag1 * sin(2 * phi1 - phi2))) AS cdist
+  FROM lg WHERE phi2 IS NOT NULL
+)
+SELECT event_type,
+       CAST(ROUND(avg(dev) * 1000000) AS BIGINT) AS pd_e6,
+       CAST(ROUND(sum(mag * dev) / sum(mag) * 1000000) AS BIGINT) AS wpd_e6,
+       CAST(ROUND(sum(cdist) * 1000000) AS BIGINT) AS cd_e6,
+       count(*) AS n_frames
+FROM sc GROUP BY event_type ORDER BY event_type
+""",
+        "events_phase_unwrap": _PHASE_FRAME_SQL + """
+st AS (
+  SELECT event_type, frame, phi,
+         CASE WHEN lag(phi) OVER w IS NULL THEN 0
+              ELSE floor((phi - lag(phi) OVER w) / (2 * pi()) + 0.5) END AS k
+  FROM ph WINDOW w AS (PARTITION BY event_type ORDER BY frame)
+),
+cu AS (
+  SELECT event_type, frame, phi,
+         sum(k) OVER (PARTITION BY event_type ORDER BY frame
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM st
+)
+SELECT event_type, CAST(frame AS BIGINT) AS frame,
+       CAST(ROUND(phi * 1000000) AS BIGINT) AS phase_e6,
+       CAST(ROUND((phi - 2 * pi() * c) * 1000000) AS BIGINT) AS unwrap_e6
+FROM cu ORDER BY event_type, frame
+""",
         "events_pwt": "\n".join(
             ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
              "hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),",
@@ -4144,6 +4353,8 @@ def queries():
         "events_lhs_pitch": q_events_lhs_pitch,
         "events_nsgt": q_events_nsgt,
         "events_pwt": q_events_pwt,
+        "events_phase_novelty": q_events_phase_novelty,
+        "events_phase_unwrap": q_events_phase_unwrap,
         "doc_pack_windows": q_doc_pack_windows,
         "events_rollup_pyramid": q_events_rollup_pyramid,
         # -- rotation: last driver row is r1-r3 (rule 2)
@@ -4183,10 +4394,10 @@ def queries():
         "events_sessionize": q_events_sessionize,
         "viterbi_states": q_viterbi_states,
         "nmf_topics": q_nmf_topics,
-        "hmm_fit": q_hmm_fit,
-        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         # ---------------- driver window boundary (entry 50 ends above) ----
         # -- parked this round: all driver-green in CORRECTNESS_r04.json
+        "hmm_fit": q_hmm_fit,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "analyzer_family": q_analyzer_family,
         "ngram_multires": q_ngram_multires,
         "events_dct": q_events_dct,

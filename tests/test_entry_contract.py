@@ -81,6 +81,7 @@ def test_driver_window_composition():
     round5_new_or_changed = {
         # new this round
         "events_lhs_pitch", "events_nsgt", "events_pwt",
+        "events_phase_novelty", "events_phase_unwrap",
         # round-4 addition that slipped past the window policy (VERDICT r4)
         "dedup_decontaminate",
         # plans changed this round: offsets broadcast-joined / floor-div fix
