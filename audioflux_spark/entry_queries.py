@@ -1813,9 +1813,11 @@ def q_events_phase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     type over the frame series of _frame_bin1:
 
       φ'' = φ_f − 2φ_{f−1} + φ_{f−2}, wrapped to (−π, π]
-      pd  = mean |wrap(φ'')|
-      wpd = Σ m_f·|wrap(φ'')| / Σ m_f
-      cd  = Σ |X_f − m_{f−1}·e^{i(2φ_{f−1}−φ_{f−2})}|
+      pd   = mean |wrap(φ'')|                    (flux_spectral.c:601)
+      wpd  = mean m_f·|wrap(φ'')|                (:611, isWeight)
+      nwpd = Σ m_f·|wrap(φ'')| / Σ m_f           (:620, isNorm — wpd/avg(m))
+      cd   = Σ |X_f − m_{f−1}·e^{i(2φ_{f−1}−φ_{f−2})}|   (:696)
+      rcd  = same sum restricted to rising bins m_f > m_{f−1}  (:714)
 
     Determinism: φ and m derive from the e6-rounded re/im integers (both
     engines feed atan2/sqrt identical IEEE doubles); the wrap uses
@@ -1849,13 +1851,16 @@ def q_events_phase_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "mag",
         F.abs(wrapped).alias("dev"),
         F.sqrt(dre * dre + dim * dim).alias("cdist"),
+        (F.col("mag") > F.col("mag1")).alias("rising"),
     )
     return (
         scored.groupBy("event_type")
         .agg(
             _e6(F.avg("dev")).alias("pd_e6"),
-            _e6(F.sum(F.col("mag") * F.col("dev")) / F.sum("mag")).alias("wpd_e6"),
+            _e6(F.avg(F.col("mag") * F.col("dev"))).alias("wpd_e6"),
+            _e6(F.sum(F.col("mag") * F.col("dev")) / F.sum("mag")).alias("nwpd_e6"),
             _e6(F.sum("cdist")).alias("cd_e6"),
+            _e6(F.sum(F.when(F.col("rising"), F.col("cdist")).otherwise(F.lit(0.0)))).alias("rcd_e6"),
             F.count(F.lit(1)).alias("n_frames"),
         )
         .orderBy("event_type")
@@ -3885,13 +3890,16 @@ sc AS (
          abs((phi - 2 * phi1 + phi2)
              - 2 * pi() * floor((phi - 2 * phi1 + phi2) / (2 * pi()) + 0.5)) AS dev,
          sqrt((re - mag1 * cos(2 * phi1 - phi2)) * (re - mag1 * cos(2 * phi1 - phi2))
-              + (im - mag1 * sin(2 * phi1 - phi2)) * (im - mag1 * sin(2 * phi1 - phi2))) AS cdist
+              + (im - mag1 * sin(2 * phi1 - phi2)) * (im - mag1 * sin(2 * phi1 - phi2))) AS cdist,
+         (mag > mag1) AS rising
   FROM lg WHERE phi2 IS NOT NULL
 )
 SELECT event_type,
        CAST(ROUND(avg(dev) * 1000000) AS BIGINT) AS pd_e6,
-       CAST(ROUND(sum(mag * dev) / sum(mag) * 1000000) AS BIGINT) AS wpd_e6,
+       CAST(ROUND(avg(mag * dev) * 1000000) AS BIGINT) AS wpd_e6,
+       CAST(ROUND(sum(mag * dev) / sum(mag) * 1000000) AS BIGINT) AS nwpd_e6,
        CAST(ROUND(sum(cdist) * 1000000) AS BIGINT) AS cd_e6,
+       CAST(ROUND(sum(CASE WHEN rising THEN cdist ELSE 0 END) * 1000000) AS BIGINT) AS rcd_e6,
        count(*) AS n_frames
 FROM sc GROUP BY event_type ORDER BY event_type
 """,
