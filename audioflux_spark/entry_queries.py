@@ -1901,6 +1901,109 @@ def q_events_phase_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vocoder_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared phase-vocoder core (/root/reference/src/dsp/phase_vocoder.c:19-113, driven by
+    mir/timeStretch_algorithm.c:143): output step i samples analysis time
+    t = i·rate — magnitude is the (1−α, α) lerp of |X| at frames k=floor(t)
+    and k+1 (zero past the end), phase ACCUMULATES φ_exp + wrap(Δφ − φ_exp)
+    per step from frame 0's seed phase. Analog over the shared ~8-frame
+    bin-1 tiling (_frame_bin1): hop == frame length L, so the expected
+    advance φ_exp = 2π·hop/L = 2π exactly, for every event type. rate = 1/2
+    (2× stretch; the reference documents rate 0.5..2): k = floor(i/2)
+    inverts to "frame k emits steps 2k (α=0) and 2k+1 (α=1/2)", so the step
+    dimension is an explode, never a join.
+
+    Determinism: the per-step phase increment is e6-QUANTIZED to BIGINT
+    BEFORE the window cumsum — an integer sum is exact in both engines,
+    while a double cumsum would expose DuckDB's segment-tree addition order
+    against Spark's sequential one. The wrap uses floor(x/2π + ½), never
+    round. Scale: one scan, per-key windows over ≤ 2·F tiny frame rows,
+    zero joins — the distributed shape of the reference's sequential
+    per-step loop."""
+    import math
+
+    two_pi = 2.0 * math.pi
+    fr = _frame_bin1(spark, sf_dir)
+    re = F.col("re_e6").cast("double") / F.lit(1e6)
+    im = F.col("im_e6").cast("double") / F.lit(1e6)
+    base = fr.select(
+        "event_type", "frame",
+        F.atan2(im, re).alias("phi"),
+        F.sqrt(re * re + im * im).alias("mag"),
+    )
+    w = Window.partitionBy("event_type").orderBy("frame")
+    d = F.lead("phi", 1, 0.0).over(w) - F.col("phi") - F.lit(two_pi)
+    inc = F.lit(two_pi) + d - F.lit(two_pi) * F.floor(d / F.lit(two_pi) + F.lit(0.5))
+    led = base.select(
+        "event_type", "frame", "mag", "phi",
+        F.lead("mag", 1, 0.0).over(w).alias("mag_n"),
+        _e6(inc).alias("inc_e6"),
+        F.first(_e6(F.col("phi"))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("phi0_e6"),
+    )
+    stepped = led.select(
+        "event_type", "frame", "mag", "mag_n", "phi0_e6", "inc_e6",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("s"),
+    ).select(
+        "event_type", "phi0_e6", "inc_e6",
+        (2 * F.col("frame") + F.col("s")).alias("step"),
+        F.when(F.col("s") == 0, F.col("mag"))
+        .otherwise(0.5 * (F.col("mag") + F.col("mag_n")))
+        .alias("mag_out"),
+    )
+    ws = Window.partitionBy("event_type").orderBy("step")
+    cum_prev = F.coalesce(
+        F.sum("inc_e6").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    psi = (F.col("phi0_e6") + cum_prev).cast("double") / F.lit(1e6)
+    return stepped.select(
+        "event_type",
+        F.col("step").cast("long").alias("step"),
+        F.col("mag_out").alias("mag_out"),
+        psi.alias("psi"),
+    )
+
+
+def q_events_timestretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-vocoder time stretch at rate 1/2 — SURVEY §2.9 TimeStretch
+    (/root/reference/src/mir/timeStretch_algorithm.c:142-148: STFT → phase_vocoder →
+    ISTFT; the analog emits the stretched complex spectrum itself, 2F
+    output steps per event type). See _vocoder_steps for the exact
+    per-step semantics and the e6-integer-cumsum determinism rule."""
+    s = _vocoder_steps(spark, sf_dir)
+    return s.select(
+        "event_type", "step",
+        _e6(F.col("mag_out") * F.cos(F.col("psi"))).alias("out_re_e6"),
+        _e6(F.col("mag_out") * F.sin(F.col("psi"))).alias("out_im_e6"),
+        _e6(F.col("mag_out")).alias("mag_e6"),
+    ).orderBy("event_type", "step")
+
+
+def q_events_pitchshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pitch shift by +12 semitones — SURVEY §2.9 PitchShift
+    (/root/reference/src/mir/pitchShift_algorithm.c:51-75: rate = 2^(−semitone/12) = 1/2,
+    time-stretch at that rate, then resample by the same factor back to the
+    original length). The analog decimates the stretched step series at
+    stride 2 (nearest-neighbor form of the reference's polyphase resample —
+    the FIR machinery itself is exercised by events_resample/events_fir):
+    out[t] = stretched[2t], t = 0..F−1. The odd steps' phase increments
+    still accumulate — decimation happens AFTER the cumsum, exactly as the
+    resampler consumes the vocoder's full output."""
+    s = _vocoder_steps(spark, sf_dir)
+    return (
+        s.filter(F.col("step") % 2 == 0)
+        .select(
+            "event_type",
+            (F.col("step") / F.lit(2)).cast("long").alias("t"),
+            _e6(F.col("mag_out") * F.cos(F.col("psi"))).alias("out_re_e6"),
+            _e6(F.col("mag_out") * F.sin(F.col("psi"))).alias("out_im_e6"),
+        )
+        .orderBy("event_type", "t")
+    )
+
+
 _PWT_CENTERS = (1, 2, 4)  # log-spaced band centers (binPerOctave analog)
 _PWT_PROBE_BINS = (1, 2, 3, 4, 5, 6)
 
@@ -3229,6 +3332,41 @@ ph AS (
 ),
 """
 
+# Phase-vocoder step table shared by the timestretch/pitchshift oracles —
+# the SQL twin of _vocoder_steps (see its docstring for the semantics and
+# the integer-cumsum determinism rule). Continues _PHASE_FRAME_SQL's CTEs.
+_VOCODER_SQL = """
+led AS (
+  SELECT event_type, frame, mag, phi,
+         coalesce(lead(phi) OVER w, 0.0) AS phi_n,
+         coalesce(lead(mag) OVER w, 0.0) AS mag_n,
+         first_value(CAST(ROUND(phi * 1000000) AS BIGINT)) OVER w2 AS phi0_e6
+  FROM ph
+  WINDOW w AS (PARTITION BY event_type ORDER BY frame),
+         w2 AS (PARTITION BY event_type ORDER BY frame ROWS UNBOUNDED PRECEDING)
+),
+inc AS (
+  SELECT *,
+         CAST(ROUND((2 * pi() + (phi_n - phi - 2 * pi())
+              - 2 * pi() * floor((phi_n - phi - 2 * pi()) / (2 * pi()) + 0.5))
+              * 1000000) AS BIGINT) AS inc_e6
+  FROM led
+),
+steps AS (
+  SELECT event_type, 2 * frame + s AS step, phi0_e6, inc_e6,
+         CASE WHEN s = 0 THEN mag ELSE 0.5 * (mag + mag_n) END AS mag_out
+  FROM inc CROSS JOIN (SELECT 0 AS s UNION ALL SELECT 1) ss
+),
+cum AS (
+  SELECT event_type, step, mag_out,
+         (phi0_e6 + coalesce(CAST(sum(inc_e6) OVER (
+              PARTITION BY event_type ORDER BY step
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         )::DOUBLE / 1000000 AS psi
+  FROM steps
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     import math
@@ -3921,6 +4059,23 @@ SELECT event_type, CAST(frame AS BIGINT) AS frame,
        CAST(ROUND((phi - 2 * pi() * c) * 1000000) AS BIGINT) AS unwrap_e6
 FROM cu ORDER BY event_type, frame
 """,
+        # shared vocoder core for timestretch/pitchshift: the per-step
+        # phase increment is e6-quantized BEFORE the window cumsum so the
+        # accumulation is an exact integer sum in both engines (DuckDB's
+        # segment-tree float sum order differs from Spark's sequential one)
+        "events_timestretch": _PHASE_FRAME_SQL + _VOCODER_SQL + """
+SELECT event_type, CAST(step AS BIGINT) AS step,
+       CAST(ROUND(mag_out * cos(psi) * 1000000) AS BIGINT) AS out_re_e6,
+       CAST(ROUND(mag_out * sin(psi) * 1000000) AS BIGINT) AS out_im_e6,
+       CAST(ROUND(mag_out * 1000000) AS BIGINT) AS mag_e6
+FROM cum ORDER BY event_type, step
+""",
+        "events_pitchshift": _PHASE_FRAME_SQL + _VOCODER_SQL + """
+SELECT event_type, CAST(step // 2 AS BIGINT) AS t,
+       CAST(ROUND(mag_out * cos(psi) * 1000000) AS BIGINT) AS out_re_e6,
+       CAST(ROUND(mag_out * sin(psi) * 1000000) AS BIGINT) AS out_im_e6
+FROM cum WHERE step % 2 = 0 ORDER BY event_type, t
+""",
         "events_pwt": "\n".join(
             ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
              "hourly AS (SELECT event_type, h, count(*)::DOUBLE AS x FROM e GROUP BY event_type, h),",
@@ -4363,6 +4518,8 @@ def queries():
         "events_pwt": q_events_pwt,
         "events_phase_novelty": q_events_phase_novelty,
         "events_phase_unwrap": q_events_phase_unwrap,
+        "events_timestretch": q_events_timestretch,
+        "events_pitchshift": q_events_pitchshift,
         "doc_pack_windows": q_doc_pack_windows,
         "events_rollup_pyramid": q_events_rollup_pyramid,
         # -- rotation: last driver row is r1-r3 (rule 2)

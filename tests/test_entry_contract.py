@@ -82,6 +82,7 @@ def test_driver_window_composition():
         # new this round
         "events_lhs_pitch", "events_nsgt", "events_pwt",
         "events_phase_novelty", "events_phase_unwrap",
+        "events_timestretch", "events_pitchshift",
         # round-4 addition that slipped past the window policy (VERDICT r4)
         "dedup_decontaminate",
         # plans changed this round: offsets broadcast-joined / floor-div fix

@@ -304,3 +304,43 @@ def test_pef_detects_planted_period(spark, periodic_dir):
     period, so PEF must pick lag 4 over the uncombed candidates."""
     res = eq.q_events_pef_pitch(spark, periodic_dir).toPandas()
     assert int(res.iloc[0]["pitch_lag"]) == 4
+
+
+def test_timestretch_vocoder_invariants(spark):
+    """rate = 1/2 phase-vocoder contract: every event type emits exactly
+    2F steps; even steps (alpha = 0) carry the UN-interpolated analysis
+    magnitude of frame k, and step 0 reproduces frame 0 exactly (seed
+    phase, untouched magnitude)."""
+    sf = "/root/testdata/sf0.001"
+    fr = eq._frame_bin1(spark, sf).toPandas()
+    res = eq.q_events_timestretch(spark, sf).toPandas()
+    for et, g in res.groupby("event_type"):
+        nf = (fr["event_type"] == et).sum()
+        assert len(g) == 2 * nf
+        f0 = fr[fr["event_type"] == et].sort_values("frame").iloc[0]
+        s0 = g.sort_values("step").iloc[0]
+        # step 0: psi = phi0, mag = |frame 0| -> out re/im == frame re/im
+        assert abs(int(s0["out_re_e6"]) - int(f0["re_e6"])) <= 2
+        assert abs(int(s0["out_im_e6"]) - int(f0["im_e6"])) <= 2
+        # even steps: magnitude equals the analysis frame magnitude
+        ev = g[g["step"] % 2 == 0].sort_values("step")
+        mags = (
+            fr[fr["event_type"] == et].sort_values("frame")
+            .assign(m=lambda d: ((d["re_e6"] / 1e6) ** 2 + (d["im_e6"] / 1e6) ** 2) ** 0.5)
+        )["m"].to_numpy()
+        assert ((ev["mag_e6"].to_numpy() / 1e6 - mags) ** 2 < 1e-10).all()
+
+
+def test_pitchshift_is_decimated_stretch(spark):
+    """pitchShift = timeStretch(rate) then resample by the same factor
+    (pitchShift_algorithm.c:66-75): the +12-semitone query must equal the
+    stretched output at even steps with the step index halved."""
+    sf = "/root/testdata/sf0.001"
+    st = eq.q_events_timestretch(spark, sf).toPandas()
+    ps = eq.q_events_pitchshift(spark, sf).toPandas()
+    ev = st[st["step"] % 2 == 0].copy()
+    ev["t"] = ev["step"] // 2
+    merged = ps.merge(ev, on=["event_type", "t"], suffixes=("", "_st"))
+    assert len(merged) == len(ps) > 0
+    assert (merged["out_re_e6"] == merged["out_re_e6_st"]).all()
+    assert (merged["out_im_e6"] == merged["out_im_e6_st"]).all()
