@@ -249,12 +249,14 @@ def q_bm25_topk_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_term_doc_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # over the tf artifact: each (doc, term) row is distinct, so
+    # df = count(*) and total_tf = sum(tf) — no countDistinct shuffle
     return (
-        _doc_tokens(spark, sf_dir)
+        _doc_tf(spark, sf_dir)
         .groupBy("term")
         .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("total_tf"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
         )
         .orderBy("term")
     )
@@ -329,19 +331,41 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DTOK_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_DOC_TF_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequencies (doc_id, term, tf) — the shared input
+    of the tf-spectrum family (doc_hps, term_entropy, term_doc_freqs) and,
+    via its key set, the distinct-token consumers. MATERIALIZED once per
+    corpus dir as an on-disk artifact (the shingles/scored-pairs
+    discipline): each consumer otherwise re-runs the full tokenize +
+    explode + aggregate corpus pass. At 100 TB this is the canonical
+    token-count table a corpus snapshot ships alongside the index."""
+    from pyspark import StorageLevel
+
+    def compute() -> DataFrame:
+        return _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+
+    def build() -> DataFrame:
+        art = _materialized_table(spark, sf_dir, "doc_tf", "v1", compute)
+        return art.persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_DOC_TF_CACHE, spark, sf_dir, build)
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, term) pairs, materialized per corpus dir — the
+    """Distinct (doc_id, term) pairs — the tf artifact's key set (the
     novelty query's consecutive-doc Jaccard references this table four
-    times (two join sides + sizes), which re-tokenized the corpus per
-    reference before persistence (same discipline as _shingles)."""
+    times: two join sides + sizes)."""
     from pyspark import StorageLevel
 
     return _session_cached(
         _DTOK_CACHE, spark, sf_dir,
-        lambda: _doc_tokens(spark, sf_dir)
-        .distinct()
+        lambda: _doc_tf(spark, sf_dir)
+        .select("doc_id", "term")
         .persist(StorageLevel.MEMORY_AND_DISK),
     )
 
@@ -1265,9 +1289,10 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_term_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each doc's term distribution — spectral entropy
-    (/root/reference/src/feature/spectral_algorithm.c:399) over terms."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    (/root/reference/src/feature/spectral_algorithm.c:399) over terms.
+    Reads the shared _doc_tf artifact instead of re-tokenizing."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("tf")
     )
     per_doc = tf.groupBy("doc_id").agg(
         F.sum("tf").alias("L"), F.sum(F.col("tf") * F.log("tf")).alias("tlogt")
@@ -2156,9 +2181,10 @@ def q_doc_hps(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, one rank window, then the per-doc spectrum is folded into a
     bounded array and the harmonic product + argmax run as pure array
     expressions — no self-joins, nothing re-scanned (a join formulation
-    re-tokenized the corpus 4×; `.explain` caught it)."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("s")
+    re-tokenized the corpus 4×; `.explain` caught it). Reads the shared
+    _doc_tf artifact instead of re-tokenizing."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("s")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
     ranked = tf.withColumn("r", F.row_number().over(w))
@@ -4520,6 +4546,12 @@ def queries():
         "events_phase_unwrap": q_events_phase_unwrap,
         "events_timestretch": q_events_timestretch,
         "events_pitchshift": q_events_pitchshift,
+        # doc_hps/term_entropy/term_doc_freqs/token_fingerprint/
+        # source_novelty read the shared _doc_tf artifact this round
+        # (changed plans -> in-window; doc_hps swapped with the
+        # r4-driver-green ann_ivf_label, whose sibling ann_ivf_trained
+        # keeps the IVF path driver-sampled)
+        "doc_hps": q_doc_hps,
         "doc_pack_windows": q_doc_pack_windows,
         "events_rollup_pyramid": q_events_rollup_pyramid,
         # -- rotation: last driver row is r1-r3 (rule 2)
@@ -4554,13 +4586,12 @@ def queries():
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_ivf_label": q_ann_ivf_label,
         "ann_ivf_trained": q_ann_ivf_trained,
         "events_sessionize": q_events_sessionize,
-        "viterbi_states": q_viterbi_states,
-        "nmf_topics": q_nmf_topics,
         # ---------------- driver window boundary (entry 50 ends above) ----
         # -- parked this round: all driver-green in CORRECTNESS_r04.json
+        "viterbi_states": q_viterbi_states,
+        "nmf_topics": q_nmf_topics,
         "hmm_fit": q_hmm_fit,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "analyzer_family": q_analyzer_family,
@@ -4574,7 +4605,7 @@ def queries():
         "events_scalogram": q_events_scalogram,
         "events_cepstrogram": q_events_cepstrogram,
         "doc_tristimulus": q_doc_tristimulus,
-        "doc_hps": q_doc_hps,
+        "ann_ivf_label": q_ann_ivf_label,
         "doc_envelope_residue": q_doc_envelope_residue,
         "doc_cepstrum": q_doc_cepstrum,
         "doc_rolloff": q_doc_rolloff,

@@ -83,6 +83,9 @@ def test_driver_window_composition():
         "events_lhs_pitch", "events_nsgt", "events_pwt",
         "events_phase_novelty", "events_phase_unwrap",
         "events_timestretch", "events_pitchshift",
+        # plans switched to the shared _doc_tf artifact this round
+        "doc_hps", "term_entropy", "term_doc_freqs",
+        "token_fingerprint", "source_novelty",
         # round-4 addition that slipped past the window policy (VERDICT r4)
         "dedup_decontaminate",
         # plans changed this round: offsets broadcast-joined / floor-div fix
