@@ -4525,9 +4525,14 @@ def queries():
     #      entries (tests/test_entry_contract.py).
     # Round 5: in-window = new/changed (events_lhs_pitch, dedup_decontaminate
     # — r4 slip, doc_pack_windows — offsets now broadcast-joined,
-    # events_rollup_pyramid — floor-div fix) + the 21 tail rows whose last
-    # driver row is r1-r3 + the always-rotating multi-stage paths; parked =
-    # the r3/r4 transform family, all driver-green in r4.
+    # events_rollup_pyramid — floor-div fix, the vocoder pair, and the five
+    # _doc_tf-artifact readers) + the 21 tail rows whose last driver row is
+    # r1-r3 + the always-rotating multi-stage paths; parked = the r3/r4
+    # transform family, all driver-green in r4.
+    # Round-6 plan: switch the remaining per-doc tf consumers
+    # (doc_tf_moments/shape/stats, doc_tristimulus, doc_cepstrum,
+    # doc_rolloff, doc_envelope_residue) to the _doc_tf artifact and rotate
+    # them in-window as that round's changed set.
     return {
         # -- flagship serving paths (always in-window)
         "bm25_topk_hot": q_bm25_topk_hot,
