@@ -532,6 +532,89 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST = ["dup", "flaky"]  # one in-vocab rare term, one absent term
+
+
+def q_doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2: drop any page
+    containing a word from a banned-word list): per doc, count tokens that
+    hit the blocklist and emit the keep/drop decision (keep = zero hits).
+
+    Scale shape: the blocklist is a DataFrame broadcast to executors — at
+    production size (10^3-10^5 terms) a literal `isin` would bloat the plan,
+    so the hits come from a broadcast LEFT join on the exploded token table
+    followed by one map-side-combinable per-doc aggregation. One corpus
+    scan, zero shuffles on the blocklist side."""
+    bl = F.broadcast(
+        spark.createDataFrame([(t,) for t in BLOCKLIST], ["bterm"])
+    )
+    tok = _doc_tokens(spark, sf_dir)
+    return (
+        tok.join(bl, tok.term == bl.bterm, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("bterm").isNotNull(), 1).otherwise(0)).alias(
+                "block_hits"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "block_hits",
+            F.when(F.col("block_hits") == 0, 1).otherwise(0).cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MIX_ALPHA = 0.3  # multinomial temperature (XLM-R / mBERT corpus mixing)
+
+
+def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: per-source sampling weights by multinomial
+    temperature sampling (Conneau et al. 2020 §3.1: q_s ∝ p_s^α with
+    p_s = token share of source s, α = 0.3) — the up/down-weighting step
+    that balances a multi-source corpus before sequence packing.
+
+    Scale shape: one corpus scan → per-source token/doc totals (source
+    cardinality is bounded, so the aggregate is tiny); corpus-wide sums come
+    from a broadcast cross join of the 1-row total — no collect(), no
+    global window over unbounded rows.
+
+    Determinism: pow(n_tokens, α) is e6-rounded to a BIGINT per source
+    BEFORE the corpus-wide sum, so the normalizer is an exact integer sum
+    (double summation order would otherwise differ across engines)."""
+    per = (
+        _docs(spark, sf_dir)
+        .select("source", tokens_col("text").alias("toks"))
+        .select("source", F.size("toks").alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .withColumn(
+            "pa_e6",
+            _e6(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot"), F.sum("pa_e6").alias("tot_pa")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            _e6(F.col("n_tokens") / F.col("tot")).alias("p_e6"),
+            _e6(F.col("pa_e6").cast("double") / F.col("tot_pa")).alias("w_e6"),
+        )
+        .orderBy("source")
+    )
+
+
 # -------------------------------------------------------------------- dedup
 
 
@@ -2989,6 +3072,92 @@ def q_events_lhs_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TUNE_TAUS = (2, 3, 4, 5, 6, 7, 8)  # candidate periods; neighbors 1..9 probed
+
+
+def q_events_tune_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TuneTrack analog — the reference's instrument-tuner tracker
+    (/root/reference/src/track/tune_track.c, C-only API: per frame, estimate
+    the dominant pitch, snap to the nearest equal-temperament step, report
+    the running cents deviation). Text analog: per (event_type, DAY), the
+    dominant period of that day's hourly count series by autocorrelation
+    comb, REFINED to fractional lag by parabolic interpolation over the
+    integer-lag scores, and the "cents" deviation 1200·log2(τ̂/τ) of the
+    refined period from the integer grid — a per-day tracking series, not a
+    single global estimate (that is events_ncf_pitch).
+
+    Determinism: comb sums/supports are exact integers; the three means
+    feeding the parabola are e6-rounded BIGINTs, so both engines feed
+    identical IEEE inputs to the δ division and log2, and the final e6 grid
+    swallows last-ulp libm differences (the events_lhs_pitch discipline).
+    Boundary/degenerate parabola (missing neighbor or zero curvature) → δ=0.
+
+    One scan: hourly agg → per-(type,day) leads (the events_pef_pitch
+    shape, day partitions bound every window) → one groupBy for all lags →
+    explode candidates with neighbor means carried inline — no join-back,
+    no global window."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_type", F.floor(_epoch_ntz("ts") / 3600).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    day = hourly.withColumn("day", F.floor(F.col("h") / 24))
+    w = Window.partitionBy("event_type", "day").orderBy("h")
+    probes = range(1, _TUNE_TAUS[-1] + 2)  # 1..9: candidates + both neighbors
+    leads = day.select(
+        "event_type", "day", "x",
+        *[F.lead("x", o).over(w).alias(f"l{o}") for o in probes],
+    )
+    aggs = []
+    for t in probes:
+        lt = F.col(f"l{t}")
+        aggs += [
+            F.sum(F.when(lt.isNotNull(), F.col("x") * lt)).alias(f"s{t}"),
+            F.sum(F.when(lt.isNotNull(), 1).otherwise(0)).alias(f"n{t}"),
+        ]
+    per = leads.groupBy("event_type", "day").agg(*aggs)
+
+    def m_e6(t: int) -> F.Column:
+        # e6-rounded mean comb score at lag t; NULL when unsupported
+        return F.when(
+            F.col(f"n{t}") > 0,
+            _e6(F.col(f"s{t}").cast("double") / F.col(f"n{t}")),
+        )
+
+    structs = [
+        F.struct(
+            F.lit(t).cast("long").alias("tau"),
+            m_e6(t).alias("m"),
+            m_e6(t - 1).alias("mlo"),
+            m_e6(t + 1).alias("mhi"),
+            F.col(f"n{t}").alias("n_support"),
+        )
+        for t in _TUNE_TAUS
+    ]
+    cands = (
+        per.select("event_type", "day", F.explode(F.array(*structs)).alias("z"))
+        .select("event_type", "day", "z.tau", "z.m", "z.mlo", "z.mhi", "z.n_support")
+        .filter(F.col("m").isNotNull())
+    )
+    wr = Window.partitionBy("event_type", "day").orderBy(F.desc("m"), "tau")
+    best = cands.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
+    den = F.col("mlo") - 2 * F.col("m") + F.col("mhi")
+    delta = F.when(
+        F.col("mlo").isNotNull() & F.col("mhi").isNotNull() & (den != 0),
+        (F.col("mlo") - F.col("mhi")).cast("double") / (2.0 * den.cast("double")),
+    ).otherwise(F.lit(0.0))
+    refined = best.withColumn("delta", delta)
+    return refined.select(
+        "event_type",
+        "day",
+        F.col("tau").alias("pitch_lag"),
+        _e6(F.col("tau") + F.col("delta")).alias("tau_hat_e6"),
+        _e6(F.lit(1200.0) * F.log2(F.lit(1.0) + F.col("delta") / F.col("tau"))).alias(
+            "cents_e6"
+        ),
+        "n_support",
+    ).orderBy("event_type", "day")
+
+
 PACK_CAP = 512          # tokens per training window
 PACK_BUCKET_W = 256     # doc_ids per prefix-sum bucket (→ N/256 driver longs)
 
@@ -3672,6 +3841,92 @@ SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
        CAST(ROUND(-sum(k * logp) / sum(k) * 1000000) AS BIGINT) AS nll_e6
 FROM dk JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id
 """,
+        "doc_blocklist": f"""
+WITH tok AS ({_TOK_SQL}),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN term IN ({", ".join(repr(t) for t in BLOCKLIST)})
+                  THEN 1 ELSE 0 END) AS block_hits
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(block_hits AS BIGINT) AS block_hits,
+       CAST(CASE WHEN block_hits = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM agg ORDER BY doc_id
+""",
+        "doc_source_mix": f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+pa AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(pow(n_tokens::DOUBLE, {MIX_ALPHA}) * 1000000) AS BIGINT) AS pa_e6
+  FROM per
+),
+tot AS (SELECT sum(n_tokens) AS tot, sum(pa_e6) AS tot_pa FROM pa)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(ROUND(n_tokens::DOUBLE / tot * 1000000) AS BIGINT) AS p_e6,
+       CAST(ROUND(pa_e6::DOUBLE / tot_pa * 1000000) AS BIGINT) AS w_e6
+FROM pa, tot ORDER BY source
+""",
+        "events_tune_track": "\n".join(
+            ["WITH e AS (SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),",
+             "hourly AS (SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY event_type, h),",
+             "d AS (SELECT event_type, h // 24 AS day, h, x FROM hourly),",
+             "leads AS (",
+             "  SELECT event_type, day, x,"]
+            + [
+                f"         lead(x, {o}) OVER w AS l{o},"
+                for o in range(1, _TUNE_TAUS[-1] + 2)
+            ]
+            + ["         1 AS _d",
+               "  FROM d WINDOW w AS (PARTITION BY event_type, day ORDER BY h)",
+               "),",
+               "per AS (",
+               "  SELECT event_type, day,"]
+            + [
+                f"         sum(CASE WHEN l{t} IS NOT NULL THEN x * l{t} END) AS s{t},\n"
+                f"         sum(CASE WHEN l{t} IS NOT NULL THEN 1 ELSE 0 END) AS n{t},"
+                for t in range(1, _TUNE_TAUS[-1] + 2)
+            ]
+            + ["         1 AS _d2",
+               "  FROM leads GROUP BY event_type, day",
+               "),",
+               "cands AS (",
+               "  "
+               + " UNION ALL ".join(
+                   f"SELECT event_type, day, {t} AS tau,"
+                   f" CASE WHEN n{t} > 0 THEN CAST(ROUND(s{t}::DOUBLE / n{t} * 1000000) AS BIGINT) END AS m,"
+                   f" CASE WHEN n{t-1} > 0 THEN CAST(ROUND(s{t-1}::DOUBLE / n{t-1} * 1000000) AS BIGINT) END AS mlo,"
+                   f" CASE WHEN n{t+1} > 0 THEN CAST(ROUND(s{t+1}::DOUBLE / n{t+1} * 1000000) AS BIGINT) END AS mhi,"
+                   f" n{t} AS n_support FROM per"
+                   for t in _TUNE_TAUS
+               ),
+               "),",
+               "ranked AS (",
+               "  SELECT *, row_number() OVER (PARTITION BY event_type, day",
+               "                               ORDER BY m DESC, tau) AS rn",
+               "  FROM cands WHERE m IS NOT NULL",
+               "),",
+               "refined AS (",
+               "  SELECT event_type, day, tau, n_support,",
+               "         CASE WHEN mlo IS NOT NULL AND mhi IS NOT NULL",
+               "                   AND (mlo - 2 * m + mhi) <> 0",
+               "              THEN (mlo - mhi)::DOUBLE / (2.0 * (mlo - 2 * m + mhi)::DOUBLE)",
+               "              ELSE 0.0 END AS delta",
+               "  FROM ranked WHERE rn = 1",
+               ")",
+               "SELECT event_type, CAST(day AS BIGINT) AS day,",
+               "       CAST(tau AS BIGINT) AS pitch_lag,",
+               "       CAST(ROUND((tau + delta) * 1000000) AS BIGINT) AS tau_hat_e6,",
+               "       CAST(ROUND(1200.0 * log2(1.0 + delta / tau) * 1000000) AS BIGINT) AS cents_e6,",
+               "       CAST(n_support AS BIGINT) AS n_support",
+               "FROM refined ORDER BY event_type, day"]
+        ),
         "dedup_decontaminate": f"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
@@ -4776,6 +5031,11 @@ def queries():
         "doc_dup_spans": q_doc_dup_spans,
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
+        # new this session (rule 1): C4 blocklist filter, multinomial
+        # source-mix weights, TuneTrack per-day pitch tracker
+        "doc_blocklist": q_doc_blocklist,
+        "doc_source_mix": q_doc_source_mix,
+        "events_tune_track": q_events_tune_track,
         # -- rotation: last driver row is r1-r3 (rule 2)
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
@@ -4806,13 +5066,17 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_canonical": q_dedup_canonical,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "dedup_embedding_pairs": q_dedup_embedding_pairs,
-        "ann_topk_cosine": q_ann_topk_cosine,
         "ann_ivf_trained": q_ann_ivf_trained,
         "events_sessionize": q_events_sessionize,
         # ---------------- driver window boundary (entry 50 ends above) ----
         # -- parked this round: all driver-green in CORRECTNESS_r04.json
+        # (dedup_simhash_pairs / dedup_embedding_pairs / ann_topk_cosine
+        # rotated out to admit the blocklist/source-mix/tune-track trio;
+        # the embedding-distance subtree stays driver-sampled through
+        # ann_ivf_trained, the simhash table through in-repo parity)
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_simhash": q_dedup_simhash,
