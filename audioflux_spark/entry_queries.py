@@ -532,6 +532,94 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_B = 256            # hashed feature buckets (model size bound)
+DSIR_TARGET_LANG = "en"  # the 'target distribution' split
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash each doc's unigram +
+    bigram features into a BOUNDED bucket space, fit two smoothed
+    bag-of-hashed-ngrams models — target p (docs in the target distribution,
+    here lang='en') and raw q (the whole corpus) — and score every doc by
+    log w(x) = Σ_b k_b · (log p_b − log q_b). High-weight docs look like the
+    target; importance resampling keeps them with probability ∝ w.
+
+    Scale shape: the feature space is B buckets BY CONSTRUCTION, so both
+    models and the per-bucket log-ratio table are O(B) — broadcast to
+    executors no matter how large the vocabulary grows; the doc side is two
+    map-side-combinable groupBys keyed by (doc_id, bucket). The bucket hash
+    is engine-portable arithmetic over md5 hex chars (the stratified-sample
+    discipline), so the kept-set is reproducible on any cluster.
+
+    Determinism: the per-bucket log-ratio is ONE log call over a ratio of
+    exact integer products (add-1 smoothing keeps everything integral;
+    products stay well under 2^53 at any per-bucket count ≤ ~10^8 — at true
+    scale compute the difference of two logs instead), e6-rounded to BIGINT
+    BEFORE the per-doc sum, which is then an exact integer sum."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens_col("text").alias("toks")
+    )
+    uni = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(F.col("toks"), lambda w: F.concat(F.lit("u:"), w))
+        ).alias("f"),
+    )
+    big = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.lit("b:"),
+                    F.element_at("toks", i),
+                    F.lit(" "),
+                    F.element_at("toks", i + 1),
+                ),
+            )
+        ).alias("f"),
+    )
+    m = F.md5("f")
+    bucket = (
+        F.ascii(F.substring(m, 1, 1)) * 256
+        + F.ascii(F.substring(m, 2, 1)) * 16
+        + F.ascii(F.substring(m, 3, 1))
+    ) % DSIR_B
+    fb = uni.unionByName(big).select(
+        "doc_id", "lang", bucket.cast("long").alias("b")
+    )
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        fb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    counts = raw.join(tgt, "b", "left").fillna(0, ["ct"])
+    tot = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        _e6(
+            F.log(
+                ((F.col("ct") + 1) * (F.col("tr") + DSIR_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tt") + DSIR_B)).cast("double")
+            )
+        ).alias("llr_e6"),
+    )
+    dk = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        dk.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_feats"),
+            F.sum(F.col("k") * F.col("llr_e6")).alias("dsir_logw_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 BLOCKLIST = ["dup", "flaky"]  # one in-vocab rare term, one absent term
 
 
@@ -3841,6 +3929,44 @@ SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
        CAST(ROUND(-sum(k * logp) / sum(k) * 1000000) AS BIGINT) AS nll_e6
 FROM dk JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id
 """,
+        "doc_dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, lang, 'u:' || u AS f
+  FROM (SELECT doc_id, lang, unnest(t) AS u FROM toks)
+),
+big AS (
+  SELECT doc_id, lang, 'b:' || t[i] || ' ' || t[i + 1] AS f
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+  WHERE len(t) >= 2
+),
+feats AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+fb AS (
+  SELECT doc_id, lang,
+         (ascii(substr(md5(f), 1, 1)) * 256
+          + ascii(substr(md5(f), 2, 1)) * 16
+          + ascii(substr(md5(f), 3, 1))) % {DSIR_B} AS b
+  FROM feats
+),
+raw AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM fb WHERE lang = {DSIR_TARGET_LANG!r} GROUP BY b),
+counts AS (SELECT b, cr, coalesce(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+model AS (
+  SELECT b,
+         CAST(ROUND(ln(((ct + 1) * (tr + {DSIR_B}))::DOUBLE
+                       / ((cr + 1) * (tt + {DSIR_B}))::DOUBLE) * 1000000) AS BIGINT) AS llr_e6
+  FROM counts, tot
+),
+dk AS (SELECT doc_id, b, count(*) AS k FROM fb GROUP BY doc_id, b)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+       CAST(sum(k * llr_e6) AS BIGINT) AS dsir_logw_e6
+FROM dk JOIN model USING (b) GROUP BY doc_id ORDER BY doc_id
+""",
         "doc_blocklist": f"""
 WITH tok AS ({_TOK_SQL}),
 agg AS (
@@ -5032,10 +5158,12 @@ def queries():
         "doc_repetition": q_doc_repetition,
         "doc_lm_score": q_doc_lm_score,
         # new this session (rule 1): C4 blocklist filter, multinomial
-        # source-mix weights, TuneTrack per-day pitch tracker
+        # source-mix weights, TuneTrack per-day pitch tracker, DSIR
+        # importance weights
         "doc_blocklist": q_doc_blocklist,
         "doc_source_mix": q_doc_source_mix,
         "events_tune_track": q_events_tune_track,
+        "doc_dsir_weights": q_doc_dsir_weights,
         # -- rotation: last driver row is r1-r3 (rule 2)
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
@@ -5067,13 +5195,14 @@ def queries():
         "dedup_minhash": q_dedup_minhash,
         "dedup_canonical": q_dedup_canonical,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "events_sessionize": q_events_sessionize,
         # ---------------- driver window boundary (entry 50 ends above) ----
         # -- parked this round: all driver-green in CORRECTNESS_r04.json
-        # (dedup_simhash_pairs / dedup_embedding_pairs / ann_topk_cosine
-        # rotated out to admit the blocklist/source-mix/tune-track trio;
-        # the embedding-distance subtree stays driver-sampled through
-        # ann_ivf_trained, the simhash table through in-repo parity)
+        # (dedup_simhash_pairs / dedup_embedding_pairs / ann_topk_cosine /
+        # events_sessionize rotated out to admit the blocklist/source-mix/
+        # tune-track/DSIR quartet; the embedding-distance subtree stays
+        # driver-sampled through ann_ivf_trained, the simhash table and
+        # sessionize through in-repo parity)
+        "events_sessionize": q_events_sessionize,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,

@@ -85,6 +85,7 @@ def test_driver_window_composition():
         "events_timestretch", "events_pitchshift",
         "doc_dup_spans", "doc_repetition", "doc_lm_score",
         "doc_blocklist", "doc_source_mix", "events_tune_track",
+        "doc_dsir_weights",
         # plans switched to the shared _doc_tf artifact this round
         "doc_hps", "term_entropy", "term_doc_freqs",
         "token_fingerprint", "source_novelty",
