@@ -3229,9 +3229,19 @@ def q_events_tune_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("event_type", "day").orderBy(F.desc("m"), "tau")
     best = cands.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
     den = F.col("mlo") - 2 * F.col("m") + F.col("mhi")
+    # clamp to half a lag: the argmax runs over the candidate set, so a
+    # NON-candidate neighbor (lag 1 or 9) can exceed the peak and push the
+    # parabola vertex arbitrarily far — standard peak-interp discipline
     delta = F.when(
         F.col("mlo").isNotNull() & F.col("mhi").isNotNull() & (den != 0),
-        (F.col("mlo") - F.col("mhi")).cast("double") / (2.0 * den.cast("double")),
+        F.greatest(
+            F.lit(-0.5),
+            F.least(
+                F.lit(0.5),
+                (F.col("mlo") - F.col("mhi")).cast("double")
+                / (2.0 * den.cast("double")),
+            ),
+        ),
     ).otherwise(F.lit(0.0))
     refined = best.withColumn("delta", delta)
     return refined.select(
@@ -4042,7 +4052,8 @@ FROM pa, tot ORDER BY source
                "  SELECT event_type, day, tau, n_support,",
                "         CASE WHEN mlo IS NOT NULL AND mhi IS NOT NULL",
                "                   AND (mlo - 2 * m + mhi) <> 0",
-               "              THEN (mlo - mhi)::DOUBLE / (2.0 * (mlo - 2 * m + mhi)::DOUBLE)",
+               "              THEN greatest(-0.5, least(0.5,",
+               "                   (mlo - mhi)::DOUBLE / (2.0 * (mlo - 2 * m + mhi)::DOUBLE)))",
                "              ELSE 0.0 END AS delta",
                "  FROM ranked WHERE rn = 1",
                ")",

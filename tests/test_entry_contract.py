@@ -136,3 +136,65 @@ def test_materialized_artifact_reuse(spark):
     assert first.equals(second)
     for m, t in mtimes.items():
         assert os.path.getmtime(m) == t, f"artifact rebuilt instead of reused: {m}"
+
+
+def test_dsir_separates_target_from_raw(spark):
+    """The property DSIR exists for: docs drawn from the target distribution
+    (lang='en') must score a higher mean importance log-weight than the
+    rest of the corpus — otherwise the resampling step selects noise."""
+    import pyspark.sql.functions as F
+
+    import audioflux_spark.entry_queries as eq
+
+    w = entry_mod.queries()["doc_dsir_weights"](spark, SF_DIR)
+    langs = eq._docs(spark, SF_DIR).select("doc_id", "lang")
+    m = (
+        w.join(langs, "doc_id")
+        .withColumn("is_en", (F.col("lang") == eq.DSIR_TARGET_LANG).cast("int"))
+        .groupBy("is_en")
+        .agg(F.avg(F.col("dsir_logw_e6") / F.col("n_feats")).alias("mean_w"))
+        .toPandas()
+        .set_index("is_en")["mean_w"]
+    )
+    assert m[1] > m[0], f"target mean {m[1]} not above raw mean {m[0]}"
+
+
+def test_source_mix_flattens_shares(spark):
+    """Multinomial temperature sampling with alpha<1 must FLATTEN the
+    distribution: the largest source's weight shrinks vs its raw share, the
+    smallest grows, and both columns still sum to ~1 (e6 grid)."""
+    pdf = entry_mod.queries()["doc_source_mix"](spark, SF_DIR).toPandas()
+    assert abs(pdf.p_e6.sum() - 1_000_000) <= len(pdf)
+    assert abs(pdf.w_e6.sum() - 1_000_000) <= len(pdf)
+    assert pdf.w_e6.max() <= pdf.p_e6.max()
+    assert pdf.w_e6.min() >= pdf.p_e6.min()
+
+
+def test_blocklist_decision_consistency(spark):
+    """keep must be exactly (block_hits == 0), and the fixture blocklist
+    term 'dup' is in-vocab so at least one doc must be dropped (a
+    degenerate all-keep result would make the oracle vacuous)."""
+    pdf = entry_mod.queries()["doc_blocklist"](spark, SF_DIR).toPandas()
+    assert ((pdf.block_hits == 0) == (pdf.keep == 1)).all()
+    assert (pdf.keep == 0).any(), "blocklist never fired on the fixture corpus"
+    assert (pdf.block_hits <= pdf.n_tokens).all()
+
+
+def test_tune_track_refinement_bounds(spark):
+    """Parabolic interpolation over adjacent integer lags can move the
+    period by at most half a lag, and the refined period must reproduce
+    the cents formula 1200*log2(tau_hat/tau) on the e6 grid."""
+    import numpy as np
+
+    pdf = entry_mod.queries()["events_tune_track"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    tau = pdf.pitch_lag.to_numpy(dtype=float)
+    tau_hat = pdf.tau_hat_e6.to_numpy(dtype=float) / 1e6
+    assert (np.abs(tau_hat - tau) <= 0.5 + 1e-9).all()
+    want_cents = np.round(1200.0 * np.log2(tau_hat / tau) * 1e6)
+    # tau_hat is itself e6-rounded, so allow the quantization to move the
+    # cents value by the derivative bound d cents/d tau_hat =
+    # 1200/(ln2*tau_hat), evaluated at the smallest tau_hat the clamp
+    # admits (tau - 0.5)
+    slack = np.ceil(0.5e-6 * 1200.0 / (np.log(2.0) * (tau - 0.5)) * 1e6) + 1
+    assert (np.abs(pdf.cents_e6.to_numpy(dtype=float) - want_cents) <= slack).all()
