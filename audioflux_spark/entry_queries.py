@@ -535,6 +535,54 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_B = 256            # hashed feature buckets (model size bound)
 DSIR_TARGET_LANG = "en"  # the 'target distribution' split
 
+_DSIR_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, b, k): per-doc hashed-feature bucket counts — the ONE
+    corpus pass every DSIR branch (raw model, target model, doc scoring)
+    derives from. Session-persisted (the shared-subtree discipline): without
+    it Catalyst re-runs tokenize+explode+hash once per branch — 10 corpus
+    scans in the un-persisted plan. Size ≈ docs × min(doc feats, B), far
+    smaller than the exploded feature stream."""
+    from pyspark import StorageLevel
+
+    def build() -> DataFrame:
+        toks = _docs(spark, sf_dir).select(
+            "doc_id", "lang", tokens_col("text").alias("toks")
+        )
+        # both feature families from ONE exploded array — a union of two
+        # explodes would scan the corpus twice for the cache fill
+        unigrams = F.transform(
+            F.col("toks"), lambda w: F.concat(F.lit("u:"), w)
+        )
+        bigrams = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat(
+                    F.lit("b:"),
+                    F.element_at("toks", i),
+                    F.lit(" "),
+                    F.element_at("toks", i + 1),
+                ),
+            ),
+        ).otherwise(F.array())
+        feats = toks.select(
+            "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("f")
+        )
+        m = F.md5("f")
+        bucket = (
+            F.ascii(F.substring(m, 1, 1)) * 256
+            + F.ascii(F.substring(m, 2, 1)) * 16
+            + F.ascii(F.substring(m, 3, 1))
+        ) % DSIR_B
+        fb = feats.select("doc_id", "lang", bucket.cast("long").alias("b"))
+        dk = fb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("k"))
+        return dk.persist(StorageLevel.MEMORY_AND_DISK)
+
+    return _session_cached(_DSIR_CACHE, spark, sf_dir, build)
+
 
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
@@ -557,58 +605,32 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     products stay well under 2^53 at any per-bucket count ≤ ~10^8 — at true
     scale compute the difference of two logs instead), e6-rounded to BIGINT
     BEFORE the per-doc sum, which is then an exact integer sum."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", "lang", tokens_col("text").alias("toks")
-    )
-    uni = toks.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(F.col("toks"), lambda w: F.concat(F.lit("u:"), w))
-        ).alias("f"),
-    )
-    big = toks.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat(
-                    F.lit("b:"),
-                    F.element_at("toks", i),
-                    F.lit(" "),
-                    F.element_at("toks", i + 1),
-                ),
-            )
-        ).alias("f"),
-    )
-    m = F.md5("f")
-    bucket = (
-        F.ascii(F.substring(m, 1, 1)) * 256
-        + F.ascii(F.substring(m, 2, 1)) * 16
-        + F.ascii(F.substring(m, 3, 1))
-    ) % DSIR_B
-    fb = uni.unionByName(big).select(
-        "doc_id", "lang", bucket.cast("long").alias("b")
-    )
-    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    dkl = _dsir_doc_buckets(spark, sf_dir)
+    raw = dkl.groupBy("b").agg(F.sum("k").alias("cr"))
     tgt = (
-        fb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        dkl.filter(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("k").alias("ct"))
     )
     counts = raw.join(tgt, "b", "left").fillna(0, ["ct"])
-    tot = counts.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
-    model = counts.crossJoin(F.broadcast(tot)).select(
-        "b",
-        _e6(
-            F.log(
-                ((F.col("ct") + 1) * (F.col("tr") + DSIR_B)).cast("double")
-                / ((F.col("cr") + 1) * (F.col("tt") + DSIR_B)).cast("double")
-            )
-        ).alias("llr_e6"),
+    # normalizers via a single-partition window: counts is ≤ B rows
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    dk = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("k"))
+    model = (
+        counts.withColumn("tr", F.sum("cr").over(wall))
+        .withColumn("tt", F.sum("ct").over(wall))
+        .select(
+            "b",
+            _e6(
+                F.log(
+                    ((F.col("ct") + 1) * (F.col("tr") + DSIR_B)).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("tt") + DSIR_B)).cast("double")
+                )
+            ).alias("llr_e6"),
+        )
+    )
+    dk = dkl.groupBy("doc_id", "b").agg(F.sum("k").alias("k"))
     return (
         dk.join(F.broadcast(model), "b")
         .groupBy("doc_id")
@@ -687,11 +709,15 @@ def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             _e6(F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_ALPHA))),
         )
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("tot"), F.sum("pa_e6").alias("tot_pa")
+    # corpus-wide normalizers via a single-partition window over the
+    # per-source aggregate (bounded source cardinality) — an agg+crossJoin
+    # here would re-run the corpus scan for the totals branch
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        per.crossJoin(F.broadcast(tot))
+        per.withColumn("tot", F.sum("n_tokens").over(wall))
+        .withColumn("tot_pa", F.sum("pa_e6").over(wall))
         .select(
             "source",
             "n_docs",
