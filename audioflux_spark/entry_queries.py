@@ -286,6 +286,89 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 32        # sketch size: k minimum hash values kept per group
+KMV_SALTS = 64    # phase-1 fan-out for the distributed top-k
+
+
+def _hex48(md: F.Column) -> F.Column:
+    """First 12 hex chars of an md5 digest as a 48-bit non-negative long,
+    via Horner over ascii(substr(...)) — the only hash→int path that is
+    bit-identical across engines (conv()/from_hex() are not portable)."""
+    acc = F.lit(0).cast("long")
+    for i in range(1, 13):
+        a = F.ascii(F.substring(md, i, 1))
+        nib = F.when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+        acc = acc * F.lit(16) + nib
+    return acc
+
+
+def q_corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per source: keep the
+    KMV_K smallest 48-bit term hashes per source and estimate the distinct
+    vocabulary as (k-1)·2^48 / h_(k). The sketch is the canonical mergeable
+    cardinality structure for a 100 TB pipeline — per-partition top-k
+    states merge associatively, so the estimate costs one map-side-combined
+    pass — and because the hash and the estimator are integer-exact, the
+    oracle reproduces it bit-for-bit (unlike HLL, whose estimates are
+    engine-specific). Emits the estimate NEXT TO the exact distinct count
+    and the error in ppm, so the sketch's accuracy is itself asserted by
+    the driver's hash-compare.
+
+    Scale shape: phase 1 prunes to ≤ KMV_K rows per (source, salt) — a
+    KMV_SALTS-reducer shuffle per source, each group also carrying its own
+    member count — then phase 2 ranks the ≤ salts·k survivors per source.
+    The exact count is reassembled as Σ per-salt counts (one representative
+    row per salt), so no single reducer ever sees a source's full distinct
+    set. The two-phase result is identical to a direct per-source top-k."""
+    st = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+    )
+    salted = st.select(
+        "source",
+        "term",
+        _hex48(F.md5("term")).alias("h48"),
+        F.pmod(F.xxhash64("term"), F.lit(KMV_SALTS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt")
+    p1 = salted.select(
+        "source",
+        "term",
+        "h48",
+        F.row_number().over(w1.orderBy("h48", "term")).alias("rn1"),
+        F.count(F.lit(1)).over(w1).alias("salt_cnt"),
+    ).filter(F.col("rn1") <= KMV_K)
+    w2 = Window.partitionBy("source").orderBy("h48", "term")
+    p2 = p1.withColumn("rn", F.row_number().over(w2))
+    agg = p2.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0)).alias("k_used"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h48"))).alias("hk"),
+        F.sum(F.when(F.col("rn1") == 1, F.col("salt_cnt")).otherwise(0)).alias(
+            "exact_distinct"
+        ),
+    )
+    return (
+        agg.withColumn(
+            "kmv_est",
+            F.expr(
+                f"CASE WHEN k_used < {KMV_K} THEN exact_distinct "
+                f"ELSE {(KMV_K - 1) * 2**48} div hk END"
+            ),
+        )
+        .select(
+            "source",
+            "k_used",
+            "exact_distinct",
+            "kmv_est",
+            F.expr("abs(kmv_est - exact_distinct) * 1000000 div exact_distinct").alias(
+                "err_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def q_top_docs_by_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q_doc_lengths(spark, sf_dir)
@@ -485,6 +568,44 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_DK_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
+def _lm_dk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2, k): per-doc bigram counts — the ONE corpus pass the
+    whole bigram-LM family derives from (session-persisted: the corpus
+    counts c12 = Σ_doc k and c1 = Σ_w2 c12 both fold out of this table, so
+    an unpersisted plan would re-run the tokenize+explode scan once per
+    model branch — 3 corpus scans, counted via `.explain`)."""
+    from pyspark import StorageLevel
+
+    def build() -> DataFrame:
+        toks = _docs(spark, sf_dir).select(
+            "doc_id", tokens_col("text").alias("toks")
+        )
+        pos = toks.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        return (
+            pos.groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return _session_cached(_LM_DK_CACHE, spark, sf_dir, build)
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity-proxy quality score: train a corpus bigram
     LM (MLE: P(w2|w1) = C(w1 w2) / C(w1 ·), both counted over bigram
@@ -493,34 +614,22 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     outliers — the standard LM-filter stage of a training-data pipeline
     with the n-gram model trained on the corpus itself.
 
-    Scale shape: the model is the (w1, w2)->count table — vocab²-bounded,
-    orders of magnitude smaller than the corpus — broadcast to executors;
-    docs join it on their per-doc DISTINCT bigrams (counts carried as a
-    weight), so the join's left side is per-doc-deduped and the probability
-    table never shuffles."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", tokens_col("text").alias("toks")
-    )
-    pos = toks.filter(F.size("toks") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at("toks", i).alias("w1"),
-                    F.element_at("toks", i + 1).alias("w2"),
-                ),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    c12 = pos.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = pos.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    Scale shape: ONE corpus pass builds the per-doc bigram-count table
+    (_lm_dk); the corpus counts fold out of it (c12 = Σ_doc k, c1 = Σ_w2
+    c12), so the model is pure aggregation over the cached table. The model
+    is the (w1, w2)->count table — vocab²-bounded, orders of magnitude
+    smaller than the corpus — broadcast to executors; docs join it on their
+    per-doc DISTINCT bigrams (counts carried as a weight), so the join's
+    left side is per-doc-deduped and the probability table never
+    shuffles."""
+    dk = _lm_dk(spark, sf_dir)
+    c12 = dk.groupBy("w1", "w2").agg(F.sum("k").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = F.broadcast(
         c12.join(c1, "w1").select(
             "w1", "w2", (F.log(F.col("c12") / F.col("c1"))).alias("logp")
         )
     )
-    dk = pos.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
     return (
         dk.join(model, ["w1", "w2"])
         .groupBy("doc_id")
@@ -529,6 +638,58 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             _e6(-F.sum(F.col("k") * F.col("logp")) / F.sum("k")).alias("nll_e6"),
         )
         .orderBy("doc_id")
+    )
+
+
+CCNET_TILES = 3  # head / middle / tail
+
+
+def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank every doc within its language
+    by the bigram-LM nll (q_doc_lm_score) and split each language into
+    head / middle / tail thirds — the partition CCNet uses to keep the
+    lowest-perplexity slice of each language. Emits per (lang, bucket):
+    doc count and the mean/max nll.
+
+    Cross-engine determinism: the tile is computed EXPLICITLY as
+    ((rank-1) * 3) div count over a (nll_e6, doc_id) total order, rather
+    than relying on each engine's ntile() remainder distribution; mean is
+    an integer division of e6 sums. Scale shape: ranking needs a per-lang
+    total order — at cluster scale that rank comes from a range-partitioned
+    sort over (lang, nll) (Spark's global orderBy machinery), not a single
+    window task; the per-lang window here is the local[32]-exact form of
+    the same plan. Everything downstream of the rank is a tiny agg."""
+    nll = q_doc_lm_score(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("nll_e6", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = (
+        nll.join(langs, "doc_id")
+        .select(
+            "lang",
+            "nll_e6",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .select(
+            "lang",
+            "nll_e6",
+            F.expr(f"(rn - 1) * {CCNET_TILES} div cnt").alias("tile"),
+        )
+    )
+    bucket = (
+        F.when(F.col("tile") == 0, F.lit("head"))
+        .when(F.col("tile") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("sum(nll_e6) div count(1)").alias("mean_nll_e6"),
+            F.max("nll_e6").alias("max_nll_e6"),
+        )
+        .orderBy("lang", "bucket")
     )
 
 
@@ -1025,6 +1186,43 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canon").alias("canon_id"),
         F.when(F.col("canon") < F.col("d"), F.lit(1)).otherwise(0).cast("long").alias("is_dup"),
     ).orderBy("doc_id")
+
+
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the reporting step a dedup job
+    emits before dropping rows (how much of the corpus is duplicated, and in
+    what cluster sizes). Composes the full canonicalization chain
+    (shingle → LSH bands → exact-Jaccard verify → 2-round min-label) and
+    folds it to one row per cluster size: `n_clusters` clusters of that
+    size covering `n_docs` member docs. The `cluster_size = 1` row is the
+    untouched singleton mass (total corpus minus pair-member docs) — every
+    canonicalized doc sits in a ≥2-cluster because membership comes from a
+    verified pair.
+
+    Scale shape: all heavy lifting ended at the LSH candidate stage (the
+    shared scored-pairs artifact); this adds two tiny aggregations over the
+    pair-member set plus a corpus count(*) — metadata arithmetic."""
+    canon = q_dedup_canonical(spark, sf_dir)
+    hist = (
+        canon.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+    )
+    totals = (
+        _docs(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(canon.agg(F.count(F.lit(1)).alias("n_members")))
+    )
+    singles = totals.select(
+        F.lit(1).cast("long").alias("cluster_size"),
+        (F.col("n_total") - F.col("n_members")).alias("n_clusters"),
+        (F.col("n_total") - F.col("n_members")).alias("n_docs"),
+    )
+    return hist.unionByName(singles).orderBy("cluster_size")
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3517,11 +3715,37 @@ SELECT doc_a, doc_b, jaccard_e6 FROM scored
 DUP_JACCARD_TAU_E6 = 500_000  # verified-dup threshold (corpus is bimodal)
 
 
-def _lsh_canonical_sql() -> str:
-    """Canonicalization twin: verified pairs → undirected edges (+loops) →
-    two fixed rounds of min-label propagation → (doc_id, canon_id)."""
-    return f"""
-WITH {_lsh_scored_pairs_cte()},
+def _hex48_sql(col: str) -> str:
+    """DuckDB twin of _hex48: first 12 md5 hex chars as a 48-bit BIGINT."""
+    terms = []
+    for i in range(1, 13):
+        a = f"ascii(substr(md5({col}), {i}, 1))"
+        nib = f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)::BIGINT"
+        terms.append(f"{nib} * {16 ** (12 - i)}" if i < 12 else nib)
+    return "(" + "\n      + ".join(terms) + ")"
+
+
+# bigram-LM CTE chain (through dk + model) — shared by the doc_lm_score
+# twin and the ccnet-bucket twin
+_LM_NLL_CTES = """toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
+model AS (SELECT w1, w2, ln(c12 / c1::DOUBLE) AS logp FROM c12 JOIN c1 USING (w1)),
+dk AS (SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY doc_id, w1, w2)"""
+
+
+def _lsh_canonical_ctes() -> str:
+    """CTE chain from scored pairs to the 2-round min-label table `l2` —
+    shared by the canonicalization twin and the cluster-stats twin."""
+    return f"""{_lsh_scored_pairs_cte()},
 edges AS (SELECT doc_a, doc_b FROM scored WHERE jaccard_e6 >= {DUP_JACCARD_TAU_E6}),
 und AS (
   SELECT doc_a AS d, doc_b AS n FROM edges
@@ -3533,10 +3757,38 @@ l2 AS (
   SELECT u.d, min(l1.lbl) AS canon
   FROM unds u JOIN l1 ON l1.d = u.n
   GROUP BY u.d
-)
+)"""
+
+
+def _lsh_canonical_sql() -> str:
+    """Canonicalization twin: verified pairs → undirected edges (+loops) →
+    two fixed rounds of min-label propagation → (doc_id, canon_id)."""
+    return f"""
+WITH {_lsh_canonical_ctes()}
 SELECT d AS doc_id, canon AS canon_id,
        CAST(CASE WHEN canon < d THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM l2 ORDER BY doc_id
+"""
+
+
+def _lsh_cluster_stats_sql() -> str:
+    """Cluster-size histogram twin: sizes of the l2 clusters plus the
+    synthesized singleton row (docs in no verified pair)."""
+    return f"""
+WITH {_lsh_canonical_ctes()},
+csz AS (SELECT canon, count(*) AS cluster_size FROM l2 GROUP BY canon),
+hist AS (
+  SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(cluster_size) AS BIGINT) AS n_docs
+  FROM csz GROUP BY cluster_size
+),
+singles AS (
+  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM l2) AS BIGINT) AS n_clusters,
+         CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM l2) AS BIGINT) AS n_docs
+)
+SELECT * FROM hist UNION ALL SELECT * FROM singles ORDER BY cluster_size
 """
 
 
@@ -3947,23 +4199,63 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(ROUND(dup3 / n3::DOUBLE * 1000000) AS BIGINT) AS dup3_frac_e6
 FROM bg JOIN tg USING (doc_id) ORDER BY doc_id
 """,
-        "doc_lm_score": """
-WITH toks AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
-  FROM documents
-),
-pos AS (
-  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
-  FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
-  WHERE len(t) >= 2
-),
-c12 AS (SELECT w1, w2, count(*) AS c12 FROM pos GROUP BY w1, w2),
-c1 AS (SELECT w1, count(*) AS c1 FROM pos GROUP BY w1),
-model AS (SELECT w1, w2, ln(c12 / c1::DOUBLE) AS logp FROM c12 JOIN c1 USING (w1)),
-dk AS (SELECT doc_id, w1, w2, count(*) AS k FROM pos GROUP BY doc_id, w1, w2)
+        "doc_lm_score": f"""
+WITH {_LM_NLL_CTES}
 SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
        CAST(ROUND(-sum(k * logp) / sum(k) * 1000000) AS BIGINT) AS nll_e6
 FROM dk JOIN model USING (w1, w2) GROUP BY doc_id ORDER BY doc_id
+""",
+        "doc_ccnet_bucket": f"""
+WITH {_LM_NLL_CTES},
+nll AS (
+  SELECT doc_id, CAST(ROUND(-sum(k * logp) / sum(k) * 1000000) AS BIGINT) AS nll_e6
+  FROM dk JOIN model USING (w1, w2) GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang, nll.nll_e6,
+         row_number() OVER (PARTITION BY d.lang ORDER BY nll.nll_e6, nll.doc_id) AS rn,
+         count(*) OVER (PARTITION BY d.lang) AS cnt
+  FROM nll JOIN documents d USING (doc_id)
+),
+tiled AS (SELECT lang, nll_e6, ((rn - 1) * {CCNET_TILES}) // cnt AS tile FROM ranked)
+SELECT lang,
+       CASE WHEN tile = 0 THEN 'head' WHEN tile = 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nll_e6) // count(*) AS BIGINT) AS mean_nll_e6,
+       CAST(max(nll_e6) AS BIGINT) AS max_nll_e6
+FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+        "corpus_kmv_sketch": f"""
+WITH st AS (
+  SELECT DISTINCT source, term FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
+    FROM documents
+  )
+),
+h AS (SELECT source, term, {_hex48_sql("term")} AS h48 FROM st),
+r AS (
+  SELECT source, h48,
+         row_number() OVER (PARTITION BY source ORDER BY h48, term) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM h
+),
+agg AS (
+  SELECT source,
+         CAST(sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS BIGINT) AS k_used,
+         max(CASE WHEN rn <= {KMV_K} THEN h48 END) AS hk,
+         CAST(max(cnt) AS BIGINT) AS exact_distinct
+  FROM r GROUP BY source
+),
+est AS (
+  SELECT source, k_used, exact_distinct,
+         CAST(CASE WHEN k_used < {KMV_K} THEN exact_distinct
+              ELSE {(KMV_K - 1) * 2**48} // hk END AS BIGINT) AS kmv_est
+  FROM agg
+)
+SELECT source, k_used, exact_distinct, kmv_est,
+       CAST(abs(kmv_est - exact_distinct) * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+FROM est ORDER BY source
 """,
         "doc_dsir_weights": f"""
 WITH toks AS (
@@ -4125,6 +4417,7 @@ FROM documents GROUP BY md5(text) ORDER BY text_hash
         ),
         "dedup_lsh_pairs": _lsh_jaccard_sql("ORDER BY 1, 2"),
         "dedup_canonical": _lsh_canonical_sql(),
+        "dedup_cluster_stats": _lsh_cluster_stats_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(),
@@ -5171,7 +5464,6 @@ def queries():
         "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
         "bm25_topk_phrase": q_bm25_topk_phrase,
         "bm25_topk_incremental": q_bm25_topk_incremental,
-        "bm25_topk_compacted": q_bm25_topk_compacted,
         # -- round-5 new or changed (rule 1)
         "dedup_decontaminate": q_dedup_decontaminate,
         "events_lhs_pitch": q_events_lhs_pitch,
@@ -5201,6 +5493,16 @@ def queries():
         "doc_source_mix": q_doc_source_mix,
         "events_tune_track": q_events_tune_track,
         "doc_dsir_weights": q_doc_dsir_weights,
+        # newest trio (rule 1): KMV cardinality sketch, ccnet perplexity
+        # buckets, dup-cluster histogram. To admit them, three UNCHANGED
+        # r4-driver-green rows park: bm25_topk_compacted (incremental keeps
+        # the streaming+compaction oracle sampled), dedup_canonical
+        # (dedup_cluster_stats composes the identical canonical chain
+        # end-to-end, so the subtree stays driver-sampled), ann_ivf_trained
+        # (whole ANN family r4-green; rotates back next round).
+        "corpus_kmv_sketch": q_corpus_kmv_sketch,
+        "doc_ccnet_bucket": q_doc_ccnet_bucket,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
         # -- rotation: last driver row is r1-r3 (rule 2)
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
@@ -5230,9 +5532,10 @@ def queries():
         # behind dedup_simhash_pairs, which reads the same signature table)
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        # ---------------- driver window boundary (entry 50 ends above) ----
+        "bm25_topk_compacted": q_bm25_topk_compacted,
         "dedup_canonical": q_dedup_canonical,
         "ann_ivf_trained": q_ann_ivf_trained,
-        # ---------------- driver window boundary (entry 50 ends above) ----
         # -- parked this round: all driver-green in CORRECTNESS_r04.json
         # (dedup_simhash_pairs / dedup_embedding_pairs / ann_topk_cosine /
         # events_sessionize rotated out to admit the blocklist/source-mix/
