@@ -303,43 +303,46 @@ def _hex48(md: F.Column) -> F.Column:
 
 
 def q_corpus_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV (k-minimum-values) distinct-count sketch per source: keep the
-    KMV_K smallest 48-bit term hashes per source and estimate the distinct
-    vocabulary as (k-1)·2^48 / h_(k). The sketch is the canonical mergeable
-    cardinality structure for a 100 TB pipeline — per-partition top-k
-    states merge associatively, so the estimate costs one map-side-combined
-    pass — and because the hash and the estimator are integer-exact, the
-    oracle reproduces it bit-for-bit (unlike HLL, whose estimates are
-    engine-specific). Emits the estimate NEXT TO the exact distinct count
-    and the error in ppm, so the sketch's accuracy is itself asserted by
-    the driver's hash-compare.
+    """KMV (k-minimum-values) distinct-count sketch: per source, keep the
+    KMV_K smallest 48-bit shingle hashes and estimate the distinct
+    3-shingle count as (k-1)·2^48 / h_(k) — the cardinality a pipeline
+    estimates BEFORE sizing an LSH dedup job (shingle universe ≫ the
+    31-word vocab, so the estimator path actually fires on this corpus).
+    The sketch is the canonical mergeable cardinality structure for a
+    100 TB pipeline — per-partition top-k states merge associatively, so
+    the estimate costs one map-side-combined pass — and because the hash
+    and the estimator are integer-exact, the oracle reproduces it
+    bit-for-bit (unlike HLL, whose estimates are engine-specific). Emits
+    the estimate NEXT TO the exact distinct count and the error in ppm, so
+    the sketch's accuracy is itself asserted by the driver's hash-compare.
 
-    Scale shape: phase 1 prunes to ≤ KMV_K rows per (source, salt) — a
-    KMV_SALTS-reducer shuffle per source, each group also carrying its own
-    member count — then phase 2 ranks the ≤ salts·k survivors per source.
-    The exact count is reassembled as Σ per-salt counts (one representative
-    row per salt), so no single reducer ever sees a source's full distinct
-    set. The two-phase result is identical to a direct per-source top-k."""
-    st = (
-        _docs(spark, sf_dir)
-        .select("source", F.explode(tokens_col("text")).alias("term"))
-        .distinct()
-    )
+    Scale shape: the per-doc shingle table is the shared on-disk artifact
+    (_shingles — no extra tokenize pass); phase 1 prunes to ≤ KMV_K rows
+    per (source, salt) — a KMV_SALTS-reducer shuffle per source, each group
+    also carrying its own member count — then phase 2 ranks the ≤ salts·k
+    survivors per source. The exact count is reassembled as Σ per-salt
+    counts (one representative row per salt), so no single reducer ever
+    sees a source's full distinct set. The two-phase result is identical
+    to a direct per-source top-k."""
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    st = _shingles(spark, sf_dir).join(src, "doc_id").select(
+        "source", "shingle"
+    ).distinct()
     salted = st.select(
         "source",
-        "term",
-        _hex48(F.md5("term")).alias("h48"),
-        F.pmod(F.xxhash64("term"), F.lit(KMV_SALTS)).alias("salt"),
+        "shingle",
+        _hex48(F.md5("shingle")).alias("h48"),
+        F.pmod(F.xxhash64("shingle"), F.lit(KMV_SALTS)).alias("salt"),
     )
     w1 = Window.partitionBy("source", "salt")
     p1 = salted.select(
         "source",
-        "term",
+        "shingle",
         "h48",
-        F.row_number().over(w1.orderBy("h48", "term")).alias("rn1"),
+        F.row_number().over(w1.orderBy("h48", "shingle")).alias("rn1"),
         F.count(F.lit(1)).over(w1).alias("salt_cnt"),
     ).filter(F.col("rn1") <= KMV_K)
-    w2 = Window.partitionBy("source").orderBy("h48", "term")
+    w2 = Window.partitionBy("source").orderBy("h48", "shingle")
     p2 = p1.withColumn("rn", F.row_number().over(w2))
     agg = p2.groupBy("source").agg(
         F.sum(F.when(F.col("rn") <= KMV_K, 1).otherwise(0)).alias("k_used"),
@@ -4226,17 +4229,20 @@ SELECT lang,
 FROM tiled GROUP BY lang, bucket ORDER BY lang, bucket
 """,
         "corpus_kmv_sketch": f"""
-WITH st AS (
-  SELECT DISTINCT source, term FROM (
-    SELECT source,
-           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')) AS term
-    FROM documents
-  )
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '') AS t
+  FROM documents
 ),
-h AS (SELECT source, term, {_hex48_sql("term")} AS h48 FROM st),
+st AS (
+  SELECT DISTINCT source, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+h AS (SELECT source, shingle, {_hex48_sql("shingle")} AS h48 FROM st),
 r AS (
   SELECT source, h48,
-         row_number() OVER (PARTITION BY source ORDER BY h48, term) AS rn,
+         row_number() OVER (PARTITION BY source ORDER BY h48, shingle) AS rn,
          count(*) OVER (PARTITION BY source) AS cnt
   FROM h
 ),

@@ -199,3 +199,54 @@ def test_tune_track_refinement_bounds(spark):
     # admits (tau - 0.5)
     slack = np.ceil(0.5e-6 * 1200.0 / (np.log(2.0) * (tau - 0.5)) * 1e6) + 1
     assert (np.abs(pdf.cents_e6.to_numpy(dtype=float) - want_cents) <= slack).all()
+
+
+def test_kmv_sketch_estimator_properties(spark):
+    """KMV invariants: k_used = min(K, exact); the estimate equals exact
+    below the sketch threshold; above it, the estimate is within 60% of
+    truth (k=32 gives ~18% relative stderr — 60% is a >3-sigma bound that
+    only a broken hash/estimator violates); err_ppm recomputes from the
+    published columns."""
+    import audioflux_spark.entry_queries as eq
+
+    pdf = entry_mod.queries()["corpus_kmv_sketch"](spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    k = eq.KMV_K
+    assert (pdf.k_used == pdf.exact_distinct.clip(upper=k)).all()
+    small = pdf[pdf.exact_distinct < k]
+    assert (small.kmv_est == small.exact_distinct).all()
+    big = pdf[pdf.exact_distinct >= k]
+    assert len(big) > 0, "no source exercises the estimator path at sf0.01"
+    rel = (big.kmv_est - big.exact_distinct).abs() / big.exact_distinct
+    assert (rel <= 0.6).all(), f"KMV estimate off by {rel.max():.0%}"
+    want_ppm = (pdf.kmv_est - pdf.exact_distinct).abs() * 1_000_000 // pdf.exact_distinct
+    assert (pdf.err_ppm == want_ppm).all()
+
+
+def test_ccnet_buckets_partition_each_lang(spark):
+    """Per lang: three buckets whose sizes differ by at most 1, covering
+    every scored doc exactly once, with mean nll strictly ordered
+    head <= middle <= tail (the property the ccnet split exists for)."""
+    pdf = entry_mod.queries()["doc_ccnet_bucket"](spark, SF_DIR).toPandas()
+    scored = entry_mod.queries()["doc_lm_score"](spark, SF_DIR).count()
+    assert pdf.n_docs.sum() == scored
+    for lang, g in pdf.groupby("lang"):
+        assert sorted(g.bucket) == ["head", "middle", "tail"]
+        assert g.n_docs.max() - g.n_docs.min() <= 1
+        by = g.set_index("bucket").mean_nll_e6
+        assert by["head"] <= by["middle"] <= by["tail"]
+
+
+def test_cluster_stats_conserves_docs(spark):
+    """The histogram is a partition of the corpus: n_docs = cluster_size *
+    n_clusters row-wise, sizes >= 2 cover exactly the canonicalized member
+    set, and the singleton row accounts for every remaining doc."""
+    import audioflux_spark.entry_queries as eq
+
+    pdf = entry_mod.queries()["dedup_cluster_stats"](spark, SF_DIR).toPandas()
+    assert (pdf.n_docs == pdf.cluster_size * pdf.n_clusters).all()
+    members = entry_mod.queries()["dedup_canonical"](spark, SF_DIR).count()
+    assert pdf[pdf.cluster_size >= 2].n_docs.sum() == members
+    total = eq._docs(spark, SF_DIR).count()
+    assert pdf.n_docs.sum() == total
+    assert (pdf[pdf.cluster_size == 1].n_docs == total - members).all()
