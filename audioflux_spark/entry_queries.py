@@ -576,13 +576,14 @@ _LM_DK_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 def _lm_dk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, w1, w2, k): per-doc bigram counts — the ONE corpus pass the
-    whole bigram-LM family derives from (session-persisted: the corpus
-    counts c12 = Σ_doc k and c1 = Σ_w2 c12 both fold out of this table, so
-    an unpersisted plan would re-run the tokenize+explode scan once per
-    model branch — 3 corpus scans, counted via `.explain`)."""
+    whole bigram-LM family derives from (on-disk artifact + session
+    persist: the corpus counts c12 = Σ_doc k and c1 = Σ_w2 c12 both fold
+    out of this table, so an unpersisted plan would re-run the
+    tokenize+explode scan once per model branch — 3 corpus scans, counted
+    via `.explain`)."""
     from pyspark import StorageLevel
 
-    def build() -> DataFrame:
+    def compute() -> DataFrame:
         toks = _docs(spark, sf_dir).select(
             "doc_id", tokens_col("text").alias("toks")
         )
@@ -600,11 +601,13 @@ def _lm_dk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
         )
-        return (
-            pos.groupBy("doc_id", "w1", "w2")
-            .agg(F.count(F.lit(1)).alias("k"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        return pos.groupBy("doc_id", "w1", "w2").agg(
+            F.count(F.lit(1)).alias("k")
         )
+
+    def build() -> DataFrame:
+        art = _materialized_table(spark, sf_dir, "lm_dk", "bigram", compute)
+        return art.persist(StorageLevel.MEMORY_AND_DISK)
 
     return _session_cached(_LM_DK_CACHE, spark, sf_dir, build)
 
