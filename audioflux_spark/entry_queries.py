@@ -648,6 +648,7 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CCNET_TILES = 3  # head / middle / tail
+CCNET_BUCKET_W = 100_000  # 0.1-nat nll buckets for the distributed rank
 
 
 def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,23 +661,40 @@ def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: the tile is computed EXPLICITLY as
     ((rank-1) * 3) div count over a (nll_e6, doc_id) total order, rather
     than relying on each engine's ntile() remainder distribution; mean is
-    an integer division of e6 sums. Scale shape: ranking needs a per-lang
-    total order — at cluster scale that rank comes from a range-partitioned
-    sort over (lang, nll) (Spark's global orderBy machinery), not a single
-    window task; the per-lang window here is the local[32]-exact form of
-    the same plan. Everything downstream of the rank is a tiny agg."""
-    nll = q_doc_lm_score(spark, sf_dir)
+    an integer division of e6 sums.
+
+    Scale shape: the per-lang rank is a DISTRIBUTED RANK, not a
+    one-task-per-language window (at 10^12 docs over a handful of
+    languages a per-lang window is a straggler by construction — the same
+    failure q_doc_pack_windows avoids for the token cumsum). Docs bucket
+    by `nll_e6 div CCNET_BUCKET_W`; the (lang, bucket) count ledger comes
+    to the driver (bounded by langs × nll-range/width, ~10^3 longs),
+    per-lang prefix offsets broadcast back, and the rank is offset +
+    within-(lang, bucket) row_number — bucket keys are monotone in nll,
+    so the composed order equals the global (nll_e6, doc_id) order. A
+    degenerate corpus whose nll mass collapses into one bucket re-creates
+    the hot window; width is a build parameter sized against the observed
+    nll spread."""
+    nll = q_doc_lm_score(spark, sf_dir).select("doc_id", "nll_e6")
     langs = _docs(spark, sf_dir).select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("nll_e6", "doc_id")
-    wc = Window.partitionBy("lang")
+    scored = nll.join(langs, "doc_id").withColumn(
+        "b", F.expr(f"nll_e6 div {CCNET_BUCKET_W}")
+    )
+    ledger = scored.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c")).collect()
+    offs: list[tuple[str, int, int]] = []
+    totals: dict[str, int] = {}
+    for r in sorted(ledger, key=lambda r: (r["lang"], r["b"])):
+        offs.append((r["lang"], int(r["b"]), totals.get(r["lang"], 0)))
+        totals[r["lang"]] = totals.get(r["lang"], 0) + int(r["c"])
+    off_df = spark.createDataFrame(offs, "lang string, b long, boff long")
+    tot_df = spark.createDataFrame(
+        sorted(totals.items()), "lang string, cnt long"
+    )
+    wb = Window.partitionBy("lang", "b").orderBy("nll_e6", "doc_id")
     ranked = (
-        nll.join(langs, "doc_id")
-        .select(
-            "lang",
-            "nll_e6",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wc).alias("cnt"),
-        )
+        scored.join(F.broadcast(off_df), ["lang", "b"])
+        .join(F.broadcast(tot_df), "lang")
+        .withColumn("rn", F.col("boff") + F.row_number().over(wb))
         .select(
             "lang",
             "nll_e6",
