@@ -24,7 +24,10 @@ from audioflux_spark.config import DEFAULT, EngineConfig, IndexConfig
 from audioflux_spark.functions.analyzer import doc_len_col, tokens_col
 from audioflux_spark.operators.indexer import build_index
 from audioflux_spark.operators.tokenize import corpus_stats, doc_stats, term_freqs
-from audioflux_spark.operators.topk import bm25_topk_exhaustive
+from audioflux_spark.operators.topk import (
+    bm25_topk_conjunctive,
+    bm25_topk_exhaustive,
+)
 from audioflux_spark.operators.wand import bm25_topk_indexed
 from audioflux_spark.sources.segments import IndexReader
 from audioflux_spark.sources.transcripts import documents_as_transcripts
@@ -118,9 +121,14 @@ def _topk_to_docids(df: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_sql(terms: list[str], k: int, where: str = "") -> str:
+def _bm25_sql(
+    terms: list[str], k: int, where: str = "", conjunctive: bool = False
+) -> str:
     terms_in = ", ".join(f"'{t}'" for t in terms)
     pred = f"WHERE {where}" if where else ""
+    # AND semantics: the tf CTE holds one row per (doc, term), so a doc
+    # contains every query term iff its group has len(terms) rows
+    having = f"HAVING count(*) = {len(terms)}" if conjunctive else ""
     return f"""
 WITH docs_f AS (SELECT * FROM documents {pred}),
 tok AS ({_TOK_SQL.replace("FROM documents", "FROM docs_f")}),
@@ -139,6 +147,7 @@ scored AS (
              (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / (SELECT avgdl FROM corpus)))) AS score
   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT doc_id, CAST(ROUND(score * 1000000) AS BIGINT) AS score_e6
 FROM scored ORDER BY score DESC, doc_id LIMIT {k}
@@ -166,6 +175,20 @@ def q_bm25_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = corpus_stats(t)
     return _topk_to_docids(
         bm25_topk_exhaustive(tf_df, ds_df, stats, "dup window", 15)
+    )
+
+
+def q_bm25_topk_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval: only docs containing BOTH 'dup' (rare,
+    df≈5%) and 'window' (hot) are candidates, BM25-ranked — the AND
+    counterpart of q_bm25_topk_exhaustive's OR semantics over the same
+    query (OR top-k can't be post-filtered into this; see
+    operators/topk.bm25_topk_conjunctive)."""
+    t = documents_as_transcripts(spark, sf_dir)
+    return _topk_to_docids(
+        bm25_topk_conjunctive(
+            term_freqs(t), doc_stats(t), corpus_stats(t), "dup window", 15
+        )
     )
 
 
@@ -4128,6 +4151,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_compacted": _bm25_sql(["join", "hash", "row"], 20),
         "bm25_topk_rare": _bm25_sql(["dup", "the"], 25),
         "bm25_topk_exhaustive": _bm25_sql(["dup", "window"], 15),
+        "bm25_topk_conjunctive": _bm25_sql(["dup", "window"], 15, conjunctive=True),
         "bm25_topk_lang_filtered": _bm25_sql(["join", "hash"], 15, where="lang = 'en'"),
         "bm25_topk_phrase": _phrase_sql(["table", "window"], 15),
         "term_doc_freqs": f"""
@@ -5484,9 +5508,11 @@ def queries():
     # doc_rolloff, doc_envelope_residue) to the _doc_tf artifact and rotate
     # them in-window as that round's changed set.
     return {
-        # -- flagship serving paths (always in-window)
-        "bm25_topk_hot": q_bm25_topk_hot,
+        # -- flagship serving paths (bm25_topk_hot parks this round to
+        # admit the NEW conjunctive query: its indexed WAND path stays
+        # driver-sampled through bm25_topk_rare, same reader + kernel)
         "bm25_topk_rare": q_bm25_topk_rare,
+        "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
         "bm25_topk_phrase": q_bm25_topk_phrase,
@@ -5560,6 +5586,7 @@ def queries():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         # ---------------- driver window boundary (entry 50 ends above) ----
+        "bm25_topk_hot": q_bm25_topk_hot,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "dedup_canonical": q_dedup_canonical,
         "ann_ivf_trained": q_ann_ivf_trained,

@@ -80,3 +80,60 @@ def bm25_topk_exhaustive(
     return scored.orderBy(
         F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
     ).limit(k)
+
+
+def bm25_topk_conjunctive(
+    tf_df: DataFrame,
+    doc_stats_df: DataFrame,
+    corpus: CorpusStats,
+    query_text: str,
+    k: int = 10,
+    cfg: BM25Config = DEFAULT.bm25,
+) -> DataFrame:
+    """Boolean-AND retrieval: only docs containing EVERY query term are
+    candidates, ranked by the same BM25 total order (the OR-semantics WAND
+    top-k cannot be post-filtered for this — a partial-match doc can
+    out-score a full-match one, so the true AND top-k may sit arbitrarily
+    deep in the OR ranking). A query term absent from the corpus empties
+    the result (strict AND).
+
+    Plan shape at scale: identical to the exhaustive path — `term IN`
+    pruning, broadcast idf literal, one per-doc aggregation — with the
+    intersection folded INTO that aggregation as `count(*) == n_terms`
+    (the tf table holds one row per (doc, term), so the count is the
+    number of distinct query terms the doc contains); map-side combinable,
+    no extra join or shuffle over the OR plan, then TakeOrderedAndProject.
+    """
+    terms = query_terms(query_text)
+    spark = tf_df.sparkSession
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, score double"
+    )
+    if not terms:
+        return empty
+    tf_q = tf_df.filter(F.col("term").isin(terms))
+    df_rows = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    idf_map = {r["term"]: idf_value(corpus.n_docs, int(r["df"])) for r in df_rows}
+    if len(idf_map) < len(terms):
+        return empty  # a query term matches no doc — the AND set is empty
+    idf_expr = F.create_map(
+        *chain.from_iterable((F.lit(t), F.lit(w)) for t, w in idf_map.items())
+    )
+    scored = (
+        tf_q.join(doc_stats_df, on=DOC_KEY)
+        .withColumn(
+            "part_score",
+            idf_expr[F.col("term")]
+            * tf_norm_col(F.col("tf"), F.col("doc_len"), corpus.avgdl, cfg),
+        )
+        .groupBy(*DOC_KEY)
+        .agg(
+            F.sum("part_score").alias("score"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+        .filter(F.col("n_hit") == len(terms))
+        .drop("n_hit")
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
+    ).limit(k)

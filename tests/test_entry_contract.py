@@ -87,6 +87,7 @@ def test_driver_window_composition():
         "doc_blocklist", "doc_source_mix", "events_tune_track",
         "doc_dsir_weights",
         "corpus_kmv_sketch", "doc_ccnet_bucket", "dedup_cluster_stats",
+        "bm25_topk_conjunctive",
         # plans switched to the shared _doc_tf artifact this round
         "doc_hps", "term_entropy", "term_doc_freqs",
         "token_fingerprint", "source_novelty",

@@ -57,3 +57,45 @@ def test_score_monotone_in_tf(built, oracle):
     got = bm25_topk_exhaustive(tf_df, ds_df, stats, "needle_pair_1", 10).toPandas()
     assert len(got) == 2
     assert got["score"].iloc[0] > got["score"].iloc[1]
+
+
+def test_conjunctive_subset_and_coverage(built, transcripts_sdf):
+    """AND semantics: every result doc contains EVERY query term; the
+    result equals the exhaustive (OR) ranking restricted to full-match
+    docs; an absent term empties the result."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from audioflux_spark.operators.topk import bm25_topk_conjunctive
+
+    tf_df, ds_df, stats = built
+    got = bm25_topk_conjunctive(tf_df, ds_df, stats, "term00000 term00001", 50).toPandas()
+    assert len(got) > 0, "conjunctive query found nothing on the fixture"
+    # every hit contains both terms
+    docs_both = (
+        tf_df.filter(F.col("term").isin(["term00000", "term00001"]))
+        .groupBy("conv_id", "turn_idx")
+        .count()
+        .filter(F.col("count") == 2)
+        .toPandas()
+    )
+    full = set(map(tuple, docs_both[["conv_id", "turn_idx"]].to_numpy()))
+    assert set(map(tuple, got[["conv_id", "turn_idx"]].to_numpy())) <= full
+    # equals the OR ranking restricted to full-match docs (same k window)
+    or_all = bm25_topk_exhaustive(
+        tf_df, ds_df, stats, "term00000 term00001", 10**6
+    ).toPandas()
+    want = or_all[
+        or_all[["conv_id", "turn_idx"]].apply(tuple, axis=1).isin(full)
+    ].head(50).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_conjunctive_absent_term_is_empty(built):
+    from audioflux_spark.operators.topk import bm25_topk_conjunctive
+
+    tf_df, ds_df, stats = built
+    got = bm25_topk_conjunctive(
+        tf_df, ds_df, stats, "term00000 zzz_never_a_term_zzz", 5
+    ).toPandas()
+    assert len(got) == 0
