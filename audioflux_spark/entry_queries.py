@@ -1436,6 +1436,14 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     choose. The bucket join is also partition-aligned: the artifact stores
     vectors PARTITIONED BY bucket, so both join sides read bucket-pruned
     files."""
+    return _emb_dup_pairs(spark, sf_dir).orderBy("vec_id_a", "vec_id_b")
+
+
+def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-IVF-bucket cosine pairs ≥ τ — the shared candidate subtree of
+    q_dedup_embedding_pairs and q_dedup_semdedup (identical plan to the
+    former's body before the factor-out; see its docstring for the scale
+    argument)."""
     reader = _ivf_reader(spark, sf_dir)
     # norms precomputed per VECTOR (N dots), not per pair (3·N² dots) —
     # measured 12.7 s → ~4 s at sf0.1
@@ -1457,7 +1465,84 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select("vec_id_a", "vec_id_b", _e6(cos).alias("cos_e6"))
         .filter(F.col("cos_e6") >= int(EMB_NEAR_DUP_TAU * 1e6))
-        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup over
+    the trained IVF clustering, with the released implementation's GREEDY
+    keep rule: order each cluster's members by cosine-to-centroid ASCENDING
+    (farthest from the centroid first — the paper's low-redundancy
+    representative), and DROP a member iff some member EARLIER in that
+    order is within τ of it. The earliest member of every duplicate
+    neighborhood is always kept; kept members are pairwise "not preceded"
+    — exactly the facebookresearch/SemDeDup semantics, which is a single
+    EXISTS over the pair set, NOT a connected-components iteration (cosine
+    is not transitive, so min-label rounds would chain-merge unrelated
+    docs and need data-dependent iteration counts). Emits every member of
+    at least one near-dup pair with its cluster, centroid affinity, and
+    keep/drop decision.
+
+    Scale shape: pair detection is bounded by the IVF bucketing
+    (Σ|bucket|², k a build parameter — see q_dedup_embedding_pairs); the
+    keep rule is one self-join over the (small) pair set; the centroid
+    join broadcasts k rows against the bucket-partitioned artifact scan.
+    Centroid cosines are e6-rounded BEFORE comparison so the precedence
+    order — hence the keep decision — is integer-deterministic across
+    engines (ties broken by vec_id)."""
+    from pyspark import StorageLevel
+
+    reader = _ivf_reader(spark, sf_dir)
+    # the pair subtree feeds BOTH the precedence join and the member set —
+    # inline persist so the Σ|bucket|² self-join runs once, not twice
+    # (CacheManager dedupes by canonicalized plan across calls; the parked
+    # q_dedup_embedding_pairs plan is a different projection and unaffected)
+    pairs = (
+        _emb_dup_pairs(spark, sf_dir)
+        .select("vec_id_a", "vec_id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym = pairs.select(
+        F.col("vec_id_a").alias("x"), F.col("vec_id_b").alias("y")
+    ).unionByName(
+        pairs.select(F.col("vec_id_b").alias("x"), F.col("vec_id_a").alias("y"))
+    )
+    cents = spark.read.parquet(os.path.join(reader.dir, "centroids"))
+    v = reader.vectors.select(
+        "vec_id", "bucket", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cos = _dot(F.col("v"), F.col("centroid")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v")))
+        * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+    )
+    scored = v.join(F.broadcast(cents), "bucket").select(
+        "vec_id", F.col("bucket").cast("long").alias("bucket"),
+        _e6(cos).alias("cent_cos_e6"),
+    )
+    cx = scored.select(F.col("vec_id").alias("x"), F.col("cent_cos_e6").alias("ccx"))
+    cy = scored.select(F.col("vec_id").alias("y"), F.col("cent_cos_e6").alias("ccy"))
+    dropped = (
+        sym.join(cx, "x").join(cy, "y")
+        .filter(
+            (F.col("ccy") < F.col("ccx"))
+            | ((F.col("ccy") == F.col("ccx")) & (F.col("y") < F.col("x")))
+        )
+        .select(F.col("x").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    members = sym.select(F.col("x").alias("vec_id")).distinct()
+    return (
+        members.join(scored, "vec_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            "cent_cos_e6",
+            F.when(F.col("is_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("vec_id")
     )
 
 
@@ -4026,10 +4111,11 @@ def _materialized_oracles() -> dict[str, str]:
     # IVF: only TRAINING+ASSIGNMENT are materialized (shared deterministic
     # routines); DuckDB still performs the probe-pruned cosine search itself
     try:
-        assign, probes = oe.ann_assign_expected(
+        assign, probes, cents = oe.ann_assign_expected(
             ORACLE_SF_DIR, ANN_K_CENTROIDS, ANN_NPROBE, ANN_TRAIN_SAMPLE
         )
         path = oe.materialize("ann_ivf_assign", assign)
+        cpath = oe.materialize("ann_ivf_centroids", cents)
         probes_in = ", ".join(str(p) for p in probes)
         out["ann_ivf_trained"] = f"""
 WITH a AS (SELECT * FROM read_parquet('{path}')),
@@ -4062,6 +4148,47 @@ p AS (
 SELECT vec_id_a, vec_id_b, cos_e6 FROM p
 WHERE cos_e6 >= {int(EMB_NEAR_DUP_TAU * 1e6)}
 ORDER BY vec_id_a, vec_id_b
+"""
+        # SemDeDup twin: the SAME assignment + pair CTEs, centroid cosines
+        # from the materialized centroid table, greedy keep rule = "dropped
+        # iff an earlier member in (cent_cos_e6, vec_id) order is within τ"
+        # — one EXISTS-style anti-join, integer-compared in both engines
+        out["dedup_semdedup"] = f"""
+WITH a AS (SELECT * FROM read_parquet('{path}')),
+c AS (SELECT * FROM read_parquet('{cpath}')),
+e AS (
+  SELECT emb.vec_id, a.bucket, emb.embedding::DOUBLE[] AS v
+  FROM embeddings emb JOIN a USING (vec_id)
+),
+p AS (
+  SELECT ea.vec_id AS va, eb.vec_id AS vb
+  FROM e ea JOIN e eb ON ea.bucket = eb.bucket AND ea.vec_id < eb.vec_id
+  WHERE CAST(ROUND(list_dot_product(ea.v, eb.v) /
+        (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+        * 1000000) AS BIGINT) >= {int(EMB_NEAR_DUP_TAU * 1e6)}
+),
+sym AS (SELECT va AS x, vb AS y FROM p UNION ALL SELECT vb AS x, va AS y FROM p),
+cc AS (
+  SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+         CAST(ROUND(list_dot_product(e.v, c.centroid) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.centroid, c.centroid)))
+              * 1000000) AS BIGINT) AS cent_cos_e6
+  FROM e JOIN c USING (bucket)
+),
+drp AS (
+  SELECT DISTINCT s.x AS vec_id
+  FROM sym s
+  JOIN cc cx ON s.x = cx.vec_id
+  JOIN cc cy ON s.y = cy.vec_id
+  WHERE cy.cent_cos_e6 < cx.cent_cos_e6
+     OR (cy.cent_cos_e6 = cx.cent_cos_e6 AND s.y < s.x)
+),
+mem AS (SELECT DISTINCT x AS vec_id FROM sym)
+SELECT m.vec_id, cc.bucket, cc.cent_cos_e6,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM mem m JOIN cc ON m.vec_id = cc.vec_id
+LEFT JOIN drp d ON d.vec_id = m.vec_id
+ORDER BY m.vec_id
 """
     except Exception:  # noqa: BLE001
         pass
@@ -5510,10 +5637,13 @@ def queries():
     return {
         # -- flagship serving paths (bm25_topk_hot parks this round to
         # admit the NEW conjunctive query: its indexed WAND path stays
-        # driver-sampled through bm25_topk_rare, same reader + kernel)
+        # driver-sampled through bm25_topk_rare, same reader + kernel;
+        # bm25_topk_exhaustive parks to admit dedup_semdedup — the
+        # exhaustive scoring kernel stays driver-sampled through
+        # bm25_topk_lang_filtered, which composes bm25_topk_exhaustive()
+        # itself, and through conjunctive's AND variant of the same agg)
         "bm25_topk_rare": q_bm25_topk_rare,
         "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
-        "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
         "bm25_topk_phrase": q_bm25_topk_phrase,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -5556,6 +5686,10 @@ def queries():
         "corpus_kmv_sketch": q_corpus_kmv_sketch,
         "doc_ccnet_bucket": q_doc_ccnet_bucket,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        # newest (rule 1): SemDeDup — semantic dedup keep-list over the
+        # trained IVF clustering (admitted by parking bm25_topk_exhaustive,
+        # see the flagship block comment)
+        "dedup_semdedup": q_dedup_semdedup,
         # -- rotation: last driver row is r1-r3 (rule 2)
         "events_sliding_median": q_events_sliding_median,
         "events_mkl": q_events_mkl,
@@ -5587,6 +5721,7 @@ def queries():
         "dedup_minhash": q_dedup_minhash,
         # ---------------- driver window boundary (entry 50 ends above) ----
         "bm25_topk_hot": q_bm25_topk_hot,
+        "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "dedup_canonical": q_dedup_canonical,
         "ann_ivf_trained": q_ann_ivf_trained,

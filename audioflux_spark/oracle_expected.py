@@ -105,10 +105,13 @@ def hmm_expected(sf_dir: str) -> pd.DataFrame:
 
 def ann_assign_expected(
     sf_dir: str, k: int = 8, nprobe: int = 2, sample_n: int = 2048
-) -> tuple[pd.DataFrame, list[int]]:
-    """(vec_id → bucket) assignment table + the query's probe buckets, via
-    the SAME shared kmeans/assign routines the engine's executors run (bit-
-    identical by the deterministic-reduction contract in operators/ann.py)."""
+) -> tuple[pd.DataFrame, list[int], pd.DataFrame]:
+    """(vec_id → bucket) assignment table, the query's probe buckets, and the
+    trained centroid table (bucket, centroid DOUBLE[]), via the SAME shared
+    kmeans/assign routines the engine's executors run (bit-identical by the
+    deterministic-reduction contract in operators/ann.py). The centroid
+    coordinates are exact float64 — identical to what build_ivf_index writes
+    into the artifact's centroids/ parquet."""
     from audioflux_spark.operators.ann import (
         ivf_assign_np,
         ivf_probe_buckets,
@@ -127,6 +130,10 @@ def ann_assign_expected(
     return (
         pd.DataFrame({"vec_id": vec_ids.astype(np.int64), "bucket": buckets}),
         probes,
+        pd.DataFrame(
+            {"bucket": np.arange(len(C), dtype=np.int64),
+             "centroid": [C[j].tolist() for j in range(len(C))]}
+        ),
     )
 
 

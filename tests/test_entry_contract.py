@@ -87,7 +87,7 @@ def test_driver_window_composition():
         "doc_blocklist", "doc_source_mix", "events_tune_track",
         "doc_dsir_weights",
         "corpus_kmv_sketch", "doc_ccnet_bucket", "dedup_cluster_stats",
-        "bm25_topk_conjunctive",
+        "bm25_topk_conjunctive", "dedup_semdedup",
         # plans switched to the shared _doc_tf artifact this round
         "doc_hps", "term_entropy", "term_doc_freqs",
         "token_fingerprint", "source_novelty",
@@ -251,3 +251,31 @@ def test_cluster_stats_conserves_docs(spark):
     total = eq._docs(spark, SF_DIR).count()
     assert pdf.n_docs.sum() == total
     assert (pdf[pdf.cluster_size == 1].n_docs == total - members).all()
+
+
+def test_semdedup_greedy_keep_rule(spark):
+    """SemDeDup invariants (greedy centroid-order rule): the member set is
+    exactly the vec_ids in at least one near-dup pair; a member is DROPPED
+    iff some pair-neighbor precedes it in (cent_cos_e6, vec_id) order; at
+    least one member per cluster is kept (the cluster's earliest member
+    can have no predecessor); and both endpoints of a pair are never both
+    kept-with-identical-precedence (antisymmetry of the order)."""
+    pdf = entry_mod.queries()["dedup_semdedup"](spark, SF_DIR).toPandas()
+    pairs = entry_mod.queries()["dedup_embedding_pairs"](spark, SF_DIR).toPandas()
+    member_set = set(pairs.vec_id_a) | set(pairs.vec_id_b)
+    assert set(pdf.vec_id) == member_set
+    order = {r.vec_id: (r.cent_cos_e6, r.vec_id) for r in pdf.itertuples()}
+    nbrs: dict[int, set[int]] = {m: set() for m in member_set}
+    for r in pairs.itertuples():
+        nbrs[r.vec_id_a].add(r.vec_id_b)
+        nbrs[r.vec_id_b].add(r.vec_id_a)
+    for r in pdf.itertuples():
+        preceded = any(order[y] < order[r.vec_id] for y in nbrs[r.vec_id])
+        assert bool(r.kept) == (not preceded), f"vec {r.vec_id}"
+    # every cluster with members keeps at least its earliest member
+    assert (pdf.groupby("bucket").kept.sum() >= 1).all()
+    # no pair survives with both endpoints kept AND mutually within τ
+    kept = set(pdf[pdf.kept == 1].vec_id)
+    both = [(a, b) for a, b in zip(pairs.vec_id_a, pairs.vec_id_b)
+            if a in kept and b in kept]
+    assert not both, f"pairs with both endpoints kept: {both[:5]}"
