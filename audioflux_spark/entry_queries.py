@@ -1515,9 +1515,16 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("v"), F.col("v")))
         * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
     )
-    scored = v.join(F.broadcast(cents), "bucket").select(
-        "vec_id", F.col("bucket").cast("long").alias("bucket"),
-        _e6(cos).alias("cent_cos_e6"),
+    # scored is referenced three times (both precedence sides + the final
+    # member join) — persist the 3-column projection so the vectors
+    # artifact is scanned once, not three times
+    scored = (
+        v.join(F.broadcast(cents), "bucket")
+        .select(
+            "vec_id", F.col("bucket").cast("long").alias("bucket"),
+            _e6(cos).alias("cent_cos_e6"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cx = scored.select(F.col("vec_id").alias("x"), F.col("cent_cos_e6").alias("ccx"))
     cy = scored.select(F.col("vec_id").alias("y"), F.col("cent_cos_e6").alias("ccy"))
