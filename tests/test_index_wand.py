@@ -160,6 +160,32 @@ def test_manifest_lineage(index_dir):
         assert 0 < e.skew_ratio < 10
 
 
+def test_index_inspect_cli(index_dir):
+    """The observability CLI surfaces the manifest + meta faithfully: totals
+    equal the manifest sums, every partition row carries the lineage fields,
+    and a complete index reports no incomplete partitions."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "index_inspect_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "index_inspect_cli.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.inspect(index_dir)
+    m = load_manifest(index_dir)
+    assert out["n_partitions_built"] == len(m.entries)
+    assert out["incomplete_partitions"] == []
+    assert out["totals"]["postings"] == sum(e.postings for e in m.entries.values())
+    assert out["totals"]["bytes"] == sum(e.bytes for e in m.entries.values())
+    assert out["meta"]["n_partitions"] == CFG.index.build_partitions
+    assert out["meta"]["n_docs"] > 0 and out["meta"]["avgdl"] > 0
+    offs = [p["doc_offset"] for p in out["partitions"]]
+    assert offs == sorted(offs) and offs[0] == 0
+
+
 def test_resume_byte_identical(spark, transcripts_sdf, index_dir, tmp_path_factory):
     """F5: truncate the manifest + delete half the partial partitions; the
     resumed build must only rebuild those and produce blob-identical merged
