@@ -279,3 +279,76 @@ def test_semdedup_greedy_keep_rule(spark):
     both = [(a, b) for a, b in zip(pairs.vec_id_a, pairs.vec_id_b)
             if a in kept and b in kept]
     assert not both, f"pairs with both endpoints kept: {both[:5]}"
+
+
+def test_semdedup_planted_exact_duplicates(spark, tmp_path_factory):
+    """Tie-break edge: planted IDENTICAL vectors share a bucket and an
+    identical centroid cosine, so precedence falls to the vec_id tiebreak —
+    within each planted triple only the smallest vec_id can survive. The
+    whole result is also re-derived from the raw vectors with an
+    independent pure-Python model (same deterministic kmeans/assign
+    routines, sequential-fold dots, HALF_UP e6 rounding)."""
+    import math
+
+    import numpy as np
+
+    import audioflux_spark.entry_queries as eq
+    from audioflux_spark.operators.ann import ivf_assign_np, kmeans_train
+
+    d = str(tmp_path_factory.mktemp("semdedup_planted"))
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    rows, triples = [], []
+    vid = 0
+    for i in range(20):
+        copies = 3 if i < 5 else 1
+        ids = []
+        for _ in range(copies):
+            rows.append((vid, [float(x) for x in base[i]], int(i % 3)))
+            ids.append(vid)
+            vid += 1
+        if copies == 3:
+            triples.append(ids)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
+
+    pdf = entry_mod.queries()["dedup_semdedup"](spark, d).toPandas()
+
+    # independent model: same deterministic shared routines, sequential dots
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    C = kmeans_train(X[: min(len(X), eq.ANN_TRAIN_SAMPLE)], eq.ANN_K_CENTROIDS)
+    buckets = ivf_assign_np(X, C)
+
+    def sdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def e6(x):
+        return int(math.floor(x * 1e6 + 0.5)) if x >= 0 else int(math.ceil(x * 1e6 - 0.5))
+
+    def cos_e6(a, b):
+        return e6(sdot(a, b) / (math.sqrt(sdot(a, a)) * math.sqrt(sdot(b, b))))
+
+    tau = int(eq.EMB_NEAR_DUP_TAU * 1e6)
+    n = len(X)
+    nbrs = {i: set() for i in range(n)}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if buckets[i] == buckets[j] and cos_e6(X[i], X[j]) >= tau:
+                nbrs[i].add(j)
+                nbrs[j].add(i)
+    cent = {i: cos_e6(X[i], C[buckets[i]]) for i in range(n)}
+    members = sorted(i for i in range(n) if nbrs[i])
+    model = {
+        i: int(not any((cent[j], j) < (cent[i], i) for j in nbrs[i]))
+        for i in members
+    }
+    got = {int(r.vec_id): int(r.kept) for r in pdf.itertuples()}
+    assert got == model
+    # each planted triple: later copies always dropped (identical partner
+    # with equal centroid cosine and smaller vec_id precedes them)
+    for ids in triples:
+        assert got[ids[1]] == 0 and got[ids[2]] == 0
