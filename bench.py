@@ -256,11 +256,19 @@ def main() -> None:
     qs = gen_queries(tr)
     for q in qs[:3]:  # warm-up, excluded
         bm25_topk_indexed(reader, q.query_text, q.k).collect()
+    # per-query best-of-2 (the harness's stated discipline, header note):
+    # a single pass makes the p95 a lottery on one steal spike during the
+    # ~24-job loop (observed: 0.60/0.78/0.91 s across runs with p50 stable);
+    # the min of two timings measures the engine, not the host's worst window
     lat = []
     for q in qs:
-        t0 = time.perf_counter()
-        bm25_topk_indexed(reader, q.query_text, q.k).collect()
-        lat.append(time.perf_counter() - t0)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            bm25_topk_indexed(reader, q.query_text, q.k).collect()
+            samples.append(time.perf_counter() - t0)
+        lat.append(min(samples))
+    results["query_latency_stat"] = "per_query_min_of_2"
     lat.sort()
     p50 = lat[len(lat) // 2]
     p95 = lat[min(int(len(lat) * 0.95), len(lat) - 1)]
