@@ -403,9 +403,13 @@ def main() -> None:
         # pair list.
         import statistics
 
-        pairs: list[tuple[dict, dict, float, float]] = []
+        pairs: list[tuple[dict, dict, float, float, float]] = []
+        # two high legs sandwich the low leg; if their throughputs disagree
+        # by more than this, the host's speed changed mid-pair and the
+        # pair's ratio mixes two different hosts — reject
+        HIGH_DRIFT_MAX = 0.15
 
-        def _valid(e: float, probe: float) -> bool:
+        def _valid(e: float, probe: float, drift: float = 0.0) -> bool:
             # superlinear pairs are physically impossible for this workload —
             # they mean the host's speed changed WITHIN the pair (observed: a
             # 6x slow window during one 1-core run made a pair read "1.82");
@@ -416,11 +420,17 @@ def main() -> None:
             # steal (r4: 0.603 at probe 1.232, same code 0.997 clean) — the
             # three-point calibration in BENCH/BASELINE.md (13.1 s @ 1.11,
             # 17.7 s @ 1.25, 29.6 s @ 1.33) puts the knee just above 1.15.
-            # Contaminated pairs are disclosed but never reported.
-            return e <= 1.02 and probe <= PAIR_PROBE_THRESHOLD
+            # Contaminated pairs are disclosed but never reported. The
+            # drift term is the A-B-A sandwich's direct detector: two high
+            # legs measured around the low leg must agree.
+            return (
+                e <= 1.02
+                and probe <= PAIR_PROBE_THRESHOLD
+                and drift <= HIGH_DRIFT_MAX
+            )
 
         def _median_valid() -> float:
-            effs = [p[2] for p in pairs if _valid(p[2], p[3])]
+            effs = [p[2] for p in pairs if _valid(p[2], p[3], p[4])]
             return statistics.median(effs) if effs else 0.0
 
         t_scaling = time.perf_counter()
@@ -431,19 +441,54 @@ def main() -> None:
         # budget_s checks below (typical runs still stop at 3-5 pairs via
         # the n_valid>=2 early exits)
         max_pairs = int(os.environ.get("AFSPARK_SCALE_MAX_PAIRS", "8"))
-        while True:
+        aborted: list[dict] = []
+        while len(pairs) + len(aborted) < 2 * max_pairs:
             # validity depends ONLY on host availability DURING the two
             # legs — contention between legs (when nothing is being
             # measured) cannot touch the pair's ratio, so snapshot probes
             # around the legs were both insufficient (missed mid-leg
             # windows) and over-strict (vetoed pairs for harmless
             # between-leg noise); they are gone.
+            # A-B-A leg order (high, low, high): the dominant remaining
+            # failure mode is the host's speed CHANGING between the two
+            # legs — observed as physically-impossible efficiencies (a run
+            # landed pairs at 1.22/1.34/1.59/1.66 in one steal window,
+            # burning 4 of 6 slots). Averaging two high legs centered on
+            # the low leg cancels first-order drift, and their DISAGREEMENT
+            # is a direct mid-pair drift detector, where before drift could
+            # only be inferred when it pushed the ratio past 1.02. The
+            # repeated leg is the cheap one (high cores), so the extra leg
+            # costs ~20% per pair and saves whole rejected pairs.
+            # leg-level early abort: a doomed pair's costliest part is the
+            # low-core leg (3-9 min; 3x longer in exactly the steal windows
+            # that doom it). If the FIRST cheap high leg already probes hot,
+            # skip the pair before paying for the low leg; if the low leg
+            # probes hot, skip the second high leg. Aborts are disclosed
+            # and bounded (the loop head caps pairs+aborts; the forced
+            # final measurement below guarantees >= 1 pair always exists).
+            allow_abort = len(pairs) + len(aborted) < 2 * max_pairs - 1
+            r_high1, during_high1 = _one_sampled(high)
+            if allow_abort and during_high1 > PAIR_PROBE_THRESHOLD:
+                aborted.append({"stage": "high1", "host_probe": round(during_high1, 3)})
+                if time.perf_counter() - t_scaling > 2 * budget_s and pairs:
+                    break
+                time.sleep(10)  # let the window pass before burning another leg
+                continue
             r_low, during_low = _one_sampled(low)
-            r_high, during_high = _one_sampled(high)
-            probe = max(during_low, during_high)
+            if allow_abort and during_low > PAIR_PROBE_THRESHOLD:
+                aborted.append({"stage": "low", "host_probe": round(during_low, 3)})
+                if time.perf_counter() - t_scaling > 2 * budget_s and pairs:
+                    break
+                continue
+            r_high2, during_high2 = _one_sampled(high)
+            h1, h2 = r_high1["turns_per_sec"], r_high2["turns_per_sec"]
+            drift = abs(h1 - h2) / ((h1 + h2) / 2.0)
+            probe = max(during_low, during_high1, during_high2)
+            r_high = dict(r_high2)
+            r_high["turns_per_sec"] = (h1 + h2) / 2.0
             e = r_high["turns_per_sec"] / (r_low["turns_per_sec"] * (high / low))
-            pairs.append((r_low, r_high, e, probe))
-            n_valid = sum(1 for p in pairs if _valid(p[2], p[3]))
+            pairs.append((r_low, r_high, e, probe, drift))
+            n_valid = sum(1 for p in pairs if _valid(p[2], p[3], p[4]))
             elapsed = time.perf_counter() - t_scaling
             if len(pairs) >= max_pairs:
                 break
@@ -458,14 +503,30 @@ def main() -> None:
             # passing median needs only one more near-idle window
             if elapsed > 2 * budget_s:
                 break  # hard stop regardless
-        valid = [p for p in pairs if _valid(p[2], p[3])]
+        if not pairs:
+            # every slot aborted on a hot probe: measure the host anyway so
+            # the artifact carries a (disclosed-contaminated) number instead
+            # of crashing — mirrors the contaminated_pairs fallback tier
+            r_high1, during_high1 = _one_sampled(high)
+            r_low, during_low = _one_sampled(low)
+            r_high2, during_high2 = _one_sampled(high)
+            h1, h2 = r_high1["turns_per_sec"], r_high2["turns_per_sec"]
+            drift = abs(h1 - h2) / ((h1 + h2) / 2.0)
+            probe = max(during_low, during_high1, during_high2)
+            r_high = dict(r_high2)
+            r_high["turns_per_sec"] = (h1 + h2) / 2.0
+            e = r_high["turns_per_sec"] / (r_low["turns_per_sec"] * (high / low))
+            pairs.append((r_low, r_high, e, probe, drift))
+        valid = [p for p in pairs if _valid(p[2], p[3], p[4])]
         # fallback tiers, strictly disclosed: if no pair met the clean
         # 1.15 bar, fall back to the old 1.3 bar (measurement quality is
         # then r4-grade: directionally useful, gate-weak); if even that is
         # empty, the median-of-all measures the HOST, not the engine
         loose = [
             p for p in pairs
-            if p[2] <= 1.02 and p[3] <= PROBE_CONTAMINATION_THRESHOLD
+            if p[2] <= 1.02
+            and p[3] <= PROBE_CONTAMINATION_THRESHOLD
+            and p[4] <= HIGH_DRIFT_MAX
         ]
         if valid:
             tier, pool = "clean_pairs", valid
@@ -476,7 +537,7 @@ def main() -> None:
         eff = statistics.median([p[2] for p in pool])
         # representative legs for the headline tps: the pool pair whose
         # efficiency is closest to the reported median
-        r_low, r_high, _e, _pr = min(pool, key=lambda p: abs(p[2] - eff))
+        r_low, r_high, _e, _pr, _dr = min(pool, key=lambda p: abs(p[2] - eff))
         tp_low, tp_high = r_low["turns_per_sec"], r_high["turns_per_sec"]
         results["scaling"] = {
             "sf": scale_sf,
@@ -490,15 +551,19 @@ def main() -> None:
             "all_pairs_contaminated": tier == "contaminated_pairs",
             # every pair disclosed — the reported efficiency is the median of
             # same-conditions valid pairs, not a best-of-N composite
+            "pair_design": "high-low-high (high legs averaged; drift = their disagreement)",
+            "high_drift_max": HIGH_DRIFT_MAX,
+            "aborted_legs": aborted,
             "pairs": [
                 {
                     "low_tps": round(pl["turns_per_sec"], 1),
                     "high_tps": round(ph["turns_per_sec"], 1),
                     "efficiency": round(pe, 3),
                     "host_probe": round(pp, 3),
-                    "valid": _valid(pe, pp),
+                    "high_drift": round(pd, 3),
+                    "valid": _valid(pe, pp, pd),
                 }
-                for pl, ph, pe, pp in pairs
+                for pl, ph, pe, pp, pd in pairs
             ],
         }
 
