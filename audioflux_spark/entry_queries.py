@@ -286,24 +286,31 @@ def q_term_doc_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc lengths from the shared _doc_tf artifact (Σtf == doc_len_col by
+    # construction) — no per-query regex tokenize of the text column
     return (
-        _docs(spark, sf_dir)
-        .select("doc_id", doc_len_col("text").cast("long").alias("doc_len"))
+        _doc_lens(spark, sf_dir)
+        .select("doc_id", F.col("len").alias("doc_len"))
         .orderBy("doc_id")
     )
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-job corpus stats: explode_outer keeps token-less docs in the
-    n_docs count, so no separate count() job over the documents table."""
-    tok = _docs(spark, sf_dir).select(
-        "doc_id", F.explode_outer(tokens_col("text")).alias("term")
-    )
-    return tok.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("term").alias("total_tokens"),
+    """Corpus stats over the _doc_tf artifact (total = Σtf, distinct terms
+    from the distinct (doc, term) rows) plus a doc_id-column count for
+    n_docs (token-less docs included) — replaces the triple-distinct
+    aggregation over an exploded token table, whose Expand node tripled the
+    rows into the shuffle."""
+    tf_agg = _doc_tf(spark, sf_dir).agg(
+        F.sum("tf").alias("total_tokens"),
         F.countDistinct("term").alias("distinct_terms"),
-        F.round(F.count("term") / F.countDistinct("doc_id") * 1e6)
+    )
+    n = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    return n.crossJoin(tf_agg).select(
+        "n_docs",
+        "total_tokens",
+        "distinct_terms",
+        F.round(F.col("total_tokens") / F.col("n_docs") * 1e6)
         .cast("long")
         .alias("avgdl_e6"),
     )
@@ -407,11 +414,16 @@ def q_top_docs_by_len(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _doc_tokens(spark, sf_dir)
-    agg = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("term").alias("n_types"),
-        F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("stop_tokens"),
+    # over the _doc_tf artifact: (doc, term) rows are distinct, so n_types
+    # is a plain count (no countDistinct expand) and token totals are Σtf —
+    # no tokenize scan, one map-side-combinable aggregation
+    tf = _doc_tf(spark, sf_dir)
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.when(F.col("term").isin(STOPWORDS), F.col("tf")).otherwise(F.lit(0))
+        ).alias("stop_tokens"),
     )
     return agg.select(
         "doc_id",
@@ -423,12 +435,16 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram-heuristic language ID (stopword-hit scoring)."""
-    tok = _doc_tokens(spark, sf_dir)
+    """n-gram-heuristic language ID (stopword-hit scoring). Stopword
+    occurrences come from the _doc_tf artifact (Σtf over stopword terms ==
+    the per-occurrence count) — no tokenize scan."""
+    tf = _doc_tf(spark, sf_dir)
     return (
-        tok.groupBy("doc_id")
+        tf.groupBy("doc_id")
         .agg(
-            F.sum(F.when(F.col("term").isin(STOPWORDS), 1).otherwise(0)).alias("en_hits")
+            F.sum(
+                F.when(F.col("term").isin(STOPWORDS), F.col("tf")).otherwise(F.lit(0))
+            ).alias("en_hits")
         )
         .select(
             "doc_id",
@@ -463,6 +479,27 @@ def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return art.persist(StorageLevel.MEMORY_AND_DISK)
 
     return _session_cached(_DOC_TF_CACHE, spark, sf_dir, build)
+
+
+def _doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, len) for EVERY document — Σtf from the shared _doc_tf
+    artifact left-joined back to the doc_id spine (token-less docs keep
+    len 0). Σtf over (doc_id, term) rows equals doc_len_col by
+    construction (same analyzer, tf partitions the token count), so
+    doc-length consumers read one parquet int column + the cached artifact
+    instead of re-running the corpus regex tokenize per query (r6: the
+    pack/stratified/source-mix trio each paid 1-2 full tokenize scans)."""
+    lens = _doc_tf(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").alias("len")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(lens, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("len"), F.lit(0)).cast("long").alias("len")
+        )
+    )
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,15 +903,18 @@ def q_doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = F.broadcast(
         spark.createDataFrame([(t,) for t in BLOCKLIST], ["bterm"])
     )
-    tok = _doc_tokens(spark, sf_dir)
+    # broadcast join probes the (doc, term, tf) artifact rows instead of the
+    # exploded per-occurrence table: same hit counts via Σtf, ~doc_len/
+    # distinct-terms fewer probe rows and no tokenize scan
+    tf = _doc_tf(spark, sf_dir)
     return (
-        tok.join(bl, tok.term == bl.bterm, "left")
+        tf.join(bl, tf.term == bl.bterm, "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("bterm").isNotNull(), 1).otherwise(0)).alias(
-                "block_hits"
-            ),
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("bterm").isNotNull(), F.col("tf")).otherwise(F.lit(0))
+            ).alias("block_hits"),
         )
         .select(
             "doc_id",
@@ -904,13 +944,15 @@ def q_doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the corpus-wide sum, so the normalizer is an exact integer sum
     (double summation order would otherwise differ across engines)."""
     per = (
+        # token totals via the shared _doc_tf artifact (Σtf == size(toks)):
+        # the per-source rollup needs no tokenize scan at all
         _docs(spark, sf_dir)
-        .select("source", tokens_col("text").alias("toks"))
-        .select("source", F.size("toks").alias("nt"))
+        .select("doc_id", "source")
+        .join(_doc_lens(spark, sf_dir), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("nt").alias("n_tokens"),
+            F.sum("len").alias("n_tokens"),
         )
         .withColumn(
             "pa_e6",
@@ -1305,8 +1347,12 @@ def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     def build() -> DataFrame:
+        # tf-weighted bit sums from the _doc_tf artifact: Σ_occurrences ±1
+        # == Σ_distinct-terms tf·(±1) exactly (integer arithmetic), so the
+        # two md5s are computed once per DISTINCT (doc, term) instead of
+        # once per token occurrence, and no tokenize scan runs at all
         tok = (
-            _doc_tokens(spark, sf_dir)
+            _doc_tf(spark, sf_dir)
             .withColumn("h1", F.md5("term"))
             .withColumn("h2", F.md5(F.concat(F.lit("simhash2|"), F.col("term"))))
         )
@@ -1318,7 +1364,10 @@ def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(-1)
 
         agg = tok.groupBy("doc_id").agg(
-            *[F.sum(bit_src(b)).alias(f"s{b}") for b in range(N_SIMHASH_BITS)]
+            *[
+                F.sum(bit_src(b) * F.col("tf")).alias(f"s{b}")
+                for b in range(N_SIMHASH_BITS)
+            ]
         )
         bands = []
         for j in range(SIMHASH_BANDS):
@@ -1441,30 +1490,57 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-IVF-bucket cosine pairs ≥ τ — the shared candidate subtree of
-    q_dedup_embedding_pairs and q_dedup_semdedup (identical plan to the
-    former's body before the factor-out; see its docstring for the scale
-    argument)."""
+    q_dedup_embedding_pairs and q_dedup_semdedup.
+
+    r6 rewrite (guide §4.2): one applyInPandas per bucket computes the
+    bucket's Gram matrix with a BLAS matmul and emits only the surviving
+    upper-triangle pairs — replacing the bucket self-join whose per-pair
+    cosine ran as interpreted zip_with/aggregate expressions (HOFs are
+    CodegenFallback) and whose join shuffled every vector once per side.
+    Same Σ|bucket|² candidate bound (k stays a build parameter); per-task
+    memory is bounded by a 1024-row Gram block, not |bucket|². cos_e6 uses
+    floor(x·1e6 + 0.5): identical to ROUND half-up for every value the τ
+    filter can keep (τ > 0)."""
+    import numpy as np
+    import pandas as pd
+
     reader = _ivf_reader(spark, sf_dir)
-    # norms precomputed per VECTOR (N dots), not per pair (3·N² dots) —
-    # measured 12.7 s → ~4 s at sf0.1
-    e = reader.vectors.select(
-        "vec_id",
-        "bucket",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = e.select(
-        F.col("vec_id").alias("vec_id_a"), F.col("bucket").alias("ba"),
-        F.col("v").alias("va"), F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_id_b"), F.col("bucket").alias("bb"),
-        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
-    )
-    j = a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    tau = int(EMB_NEAR_DUP_TAU * 1e6)
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        nrm = np.sqrt((X * X).sum(axis=1))
+        n = ids.size
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        blk = 1024  # Gram computed in row blocks: memory ∝ blk·n, not n²
+        for i0 in range(0, n, blk):
+            i1 = min(i0 + blk, n)
+            cos = (X[i0:i1] @ X.T) / (nrm[i0:i1, None] * nrm[None, :])
+            cos_e6 = np.floor(cos * 1e6 + 0.5).astype(np.int64)
+            r_loc, c = np.nonzero(cos_e6 >= tau)
+            keep = c > (r_loc + i0)  # ids ascending → index order == id order
+            out_a.append(ids[r_loc[keep] + i0])
+            out_b.append(ids[c[keep]])
+            out_c.append(cos_e6[r_loc[keep], c[keep]])
+        return pd.DataFrame(
+            {
+                "vec_id_a": np.concatenate(out_a) if out_a else np.zeros(0, np.int64),
+                "vec_id_b": np.concatenate(out_b) if out_b else np.zeros(0, np.int64),
+                "cos_e6": np.concatenate(out_c) if out_c else np.zeros(0, np.int64),
+            }
+        )
+
     return (
-        j.select("vec_id_a", "vec_id_b", _e6(cos).alias("cos_e6"))
-        .filter(F.col("cos_e6") >= int(EMB_NEAR_DUP_TAU * 1e6))
+        reader.vectors.select("bucket", "vec_id", "embedding")
+        .groupBy("bucket")
+        .applyInPandas(
+            bucket_pairs, schema="vec_id_a long, vec_id_b long, cos_e6 long"
+        )
     )
 
 
@@ -1916,11 +1992,11 @@ def q_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # persisted: the operator references this matrix twice (nnz sizing +
     # the bounded join), which re-ran the tokenize scan per reference;
-    # Spark's CacheManager dedupes the identical plan across repeat calls
+    # Spark's CacheManager dedupes the identical plan across repeat calls.
+    # The tf side now reads the shared _doc_tf artifact (r6 rotation plan).
     tf = (
-        _doc_tokens(spark, sf_dir)
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        _doc_tf(spark, sf_dir)
+        .select("doc_id", "term", F.col("tf").cast("double").alias("tf"))
         .join(_docs(spark, sf_dir).select("doc_id", "source"), "doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1995,9 +2071,10 @@ def q_doc_tf_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spectral_algorithm.c:311-397: Σw·x^p raw moments → central moments), with
     frequency → token length and amplitude weight → term frequency. One
     groupBy: raw moments Σw, Σwx..Σwx⁴ accumulated map-side, centered on the
-    driver-free combine exactly as the reference's single pass."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("w")
+    driver-free combine exactly as the reference's single pass. Reads the
+    shared _doc_tf artifact instead of re-tokenizing (r6 rotation plan)."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("w")
     )
     x = F.length("term").cast("double")
     raw = tf.groupBy("doc_id").agg(
@@ -2156,9 +2233,10 @@ def q_doc_tf_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's flatness (geo/arith mean ratio, spectral_algorithm.c:427),
     crest (max/mean, :475), decrease (:520: Σ_{k≥2}(w_k−w_1)/(k−1) / Σ_{k≥2}w_k,
     k = term rank) and hfc (:741: Σ k·w_k) with frequency rank → alphabetical
-    term rank within the doc."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("w")
+    term rank within the doc. Reads the shared _doc_tf artifact instead of
+    re-tokenizing (r6 rotation plan)."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("w")
     )
     wk = Window.partitionBy("doc_id").orderBy("term")
     ranked = tf.withColumn("k", F.row_number().over(wk)).withColumn(
@@ -2226,9 +2304,10 @@ def q_doc_tristimulus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tristimulus = energy share of the 1st harmonic, harmonics 2-4, and the
     rest). Harmonic rank → tf rank (tf desc, term asc): t1 = s₁/Σs,
     t2 = (s₂+s₃+s₄)/Σs, t3 = remainder/Σs. One tf aggregation + one rank
-    window + one conditional agg — no joins, scales linearly."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("s")
+    window + one conditional agg — no joins, scales linearly. Reads the
+    shared _doc_tf artifact instead of re-tokenizing (r6 rotation plan)."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("s")
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
     ranked = tf.withColumn("r", F.row_number().over(w))
@@ -2872,14 +2951,22 @@ def q_doc_hps(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _doc_tf(spark, sf_dir).select(
         "doc_id", "term", F.col("tf").cast("double").alias("s")
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
-    ranked = tf.withColumn("r", F.row_number().over(w))
-    sp = ranked.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("r"), F.log("s").alias("ls")))
-        ).alias("sp")
+    # r6: the rank window is gone — array_sort over struct(-s, term)
+    # reproduces the (s desc, term asc) rank order per doc inside ONE hash
+    # aggregation (no partition-wide sort, no row_number pass; the per-doc
+    # arrays are bounded by the doc's distinct-term count)
+    sp = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("s")).alias("ns"), "term"))
+            ).alias("a")
+        )
+        .select(
+            "doc_id", F.transform("a", lambda x: F.log(-x["ns"])).alias("sp")
+        )
     )
-    ls = lambda k: F.element_at(F.col("sp"), k)["ls"]  # 1-based rank lookup
+    ls = lambda k: F.element_at(F.col("sp"), k)  # 1-based rank lookup
     cand = F.sequence(F.lit(1), (F.size("sp") / 3).cast("int"))
     hps = F.transform(
         cand,
@@ -2907,12 +2994,13 @@ def q_doc_envelope_residue(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-spectrum x_i = ln(1+tf) at alphabetical term rank i; forward DCT-II
     keeps Q=3 coefficients; the envelope is their DCT-III reconstruction
     e_i = c_0/M + (2/M)·Σ_{k=1..Q-1} c_k·cos(πk(i+½)/M); residue = x − e.
-    Emitted as per-doc envelope/residue energies. Two aggregations over one
-    tokenize scan, joined back on doc_id — co-partitioned, linear."""
+    Emitted as per-doc envelope/residue energies. Two aggregations over the
+    shared _doc_tf artifact (r6 rotation plan — no per-query tokenize),
+    joined back on doc_id — co-partitioned, linear."""
     import math
 
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("tf")
     )
     w = Window.partitionBy("doc_id").orderBy("term")
     # M from the same window partition — no tf self-join (which re-ran the
@@ -2992,11 +3080,13 @@ def q_doc_cepstrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cepstrum: log-compress the term-rank 'spectrum' (ln(1+tf) at
     alphabetical term rank) then DCT-II, truncated to 3 coefficients — the
     reference's xxcc/cepstrogram chain (log → DCT → truncate,
-    /root/reference/src/feature/xxcc_algorithm.c) over the token domain."""
+    /root/reference/src/feature/xxcc_algorithm.c) over the token domain.
+    Reads the shared _doc_tf artifact instead of re-tokenizing (r6 rotation
+    plan)."""
     import math
 
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("tf")
     )
     w = Window.partitionBy("doc_id").orderBy("term")
     # M from the same window partition — no tf self-join (which re-ran the
@@ -3024,9 +3114,11 @@ def q_doc_rolloff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/feature/spectral_algorithm.c:282: smallest bin whose
     cumulative energy reaches η·total, η=0.85), with frequency rank →
     alphabetical term rank and energy → term frequency. Window cumsum in
-    term order is deterministic in both engines (integer-valued doubles)."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("w")
+    term order is deterministic in both engines (integer-valued doubles).
+    Reads the shared _doc_tf artifact instead of re-tokenizing (r6 rotation
+    plan)."""
+    tf = _doc_tf(spark, sf_dir).select(
+        "doc_id", "term", F.col("tf").cast("double").alias("w")
     )
     wk = Window.partitionBy("doc_id").orderBy("term")
     wd = Window.partitionBy("doc_id")
@@ -3638,10 +3730,13 @@ def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     build parameter — 10^8 at 10^12 docs keeps it ~10^4); no single-task
     global sort anywhere. The DuckDB twin states the same semantics as one
     global window cumsum."""
-    d = _docs(spark, sf_dir).select(
+    # lens from the shared _doc_tf artifact: the bucket-totals pass and the
+    # cumsum pass each re-executed this subtree, which previously meant TWO
+    # full regex tokenize scans of the corpus text per call
+    d = _doc_lens(spark, sf_dir).select(
         "doc_id",
         F.col("doc_id").cast("long").alias("did"),
-        doc_len_col("text").cast("long").alias("len"),
+        "len",
     ).withColumn("bucket", F.expr(f"did div {PACK_BUCKET_W}"))
     bucket_tot = (
         d.groupBy("bucket").agg(F.sum("len").alias("btot")).collect()
@@ -3689,8 +3784,9 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     final tiny rollup) and the same rows are kept on ANY cluster size or
     partitioning — the property that makes the sample reproducible at
     10^12 docs."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", doc_len_col("text").cast("long").alias("len")
+    # lens via the shared _doc_tf artifact instead of a regex tokenize scan
+    d = _docs(spark, sf_dir).select("doc_id", "lang").join(
+        _doc_lens(spark, sf_dir), "doc_id"
     )
     keep = (
         F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
@@ -3748,10 +3844,11 @@ def q_events_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_tf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc max/argmax over the term axis — the reference's per-frame
-    max + argmax-frequency (spectral_algorithm.c:855)."""
-    tf = _doc_tokens(spark, sf_dir).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    max + argmax-frequency (spectral_algorithm.c:855). Reads the shared
+    _doc_tf artifact (r6 rotation plan): the tf subtree feeds both the mx
+    aggregate and the argmax join side, which previously re-ran the full
+    tokenize scan once per branch."""
+    tf = _doc_tf(spark, sf_dir).select("doc_id", "term", "tf")
     mx = tf.groupBy("doc_id").agg(
         F.max("tf").alias("max_tf"), F.sum(F.col("tf") * F.col("tf")).alias("sum_tf2")
     )
@@ -5631,122 +5728,66 @@ def queries():
     #      the tail always carry a PREVIOUS-round driver-green row and stay
     #      covered by the in-repo DuckDB-parity suite, which runs ALL
     #      entries (tests/test_entry_contract.py).
-    # Round 5: in-window = new/changed (events_lhs_pitch, dedup_decontaminate
-    # — r4 slip, doc_pack_windows — offsets now broadcast-joined,
-    # events_rollup_pyramid — floor-div fix, the vocoder pair, and the five
-    # _doc_tf-artifact readers) + the 21 tail rows whose last driver row is
-    # r1-r3 + the always-rotating multi-stage paths; parked = the r3/r4
-    # transform family, all driver-green in r4.
-    # Round-6 plan: switch the remaining per-doc tf consumers
-    # (doc_tf_moments/shape/stats, doc_tristimulus, doc_cepstrum,
-    # doc_rolloff, doc_envelope_residue) to the _doc_tf artifact and rotate
-    # them in-window as that round's changed set.
+    # Round 5: in-window = new/changed + r1-r3-stale rotation (see git
+    # history). Round 6 (OPTIMIZATION round): in-window =
+    #   rule 1 — the optimization round's changed-plan set: the remaining
+    #     per-doc tf consumers moved to the shared _doc_tf artifact
+    #     (doc_tf_moments/shape/stats, doc_tristimulus, doc_cepstrum,
+    #     doc_rolloff, doc_envelope_residue, nmf_topics, text_quality,
+    #     lang_id, doc_blocklist, corpus_stats, dedup_simhash[+_pairs]),
+    #     the _doc_lens spine consumers (doc_lengths, top_docs_by_len,
+    #     doc_pack_windows, doc_stratified_sample, doc_source_mix),
+    #     doc_hps (rank window removed), and the per-bucket BLAS pair
+    #     kernel (dedup_embedding_pairs, dedup_semdedup);
+    #   rule 2 — every row whose last driver-green artifact is r4 rotates
+    #     back in (the r5 VERDICT's ask #6), EXCEPT three family-covered
+    #     overflow rows (window holds 50): ann_ivf_label (identical
+    #     _cosine_topk plan to in-window ann_topk_cosine + the IVF artifact
+    #     sampled via ann_ivf_trained) and events_stft_pitch /
+    #     events_pef_pitch (the 6-estimator pitch family keeps YIN + NCF
+    #     in-window; LHS/CEP are r5-green) — all three stay covered by the
+    #     in-repo parity suite and re-enter in r7.
+    # Parked = every r5-green row (returns r7) + the three overflow rows.
     return {
-        # -- flagship serving paths (bm25_topk_hot parks this round to
-        # admit the NEW conjunctive query: its indexed WAND path stays
-        # driver-sampled through bm25_topk_rare, same reader + kernel;
-        # bm25_topk_exhaustive parks to admit dedup_semdedup — the
-        # exhaustive scoring kernel stays driver-sampled through
-        # bm25_topk_lang_filtered, which composes bm25_topk_exhaustive()
-        # itself, and through conjunctive's AND variant of the same agg)
-        "bm25_topk_rare": q_bm25_topk_rare,
-        "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
-        "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
-        "bm25_topk_phrase": q_bm25_topk_phrase,
-        "bm25_topk_incremental": q_bm25_topk_incremental,
-        # -- round-5 new or changed (rule 1)
-        "dedup_decontaminate": q_dedup_decontaminate,
-        "events_lhs_pitch": q_events_lhs_pitch,
-        "events_nsgt": q_events_nsgt,
-        "events_pwt": q_events_pwt,
-        "events_phase_novelty": q_events_phase_novelty,
-        "events_phase_unwrap": q_events_phase_unwrap,
-        "events_timestretch": q_events_timestretch,
-        "events_pitchshift": q_events_pitchshift,
-        # doc_hps/term_entropy/term_doc_freqs/token_fingerprint/
-        # source_novelty read the shared _doc_tf artifact this round
-        # (changed plans -> in-window; doc_hps swapped with the
-        # r4-driver-green ann_ivf_label, whose sibling ann_ivf_trained
-        # keeps the IVF path driver-sampled)
-        "doc_hps": q_doc_hps,
-        "doc_pack_windows": q_doc_pack_windows,
-        "events_rollup_pyramid": q_events_rollup_pyramid,
-        # new training-data-prep trio (rule 1): span-level exact dedup,
-        # Gopher repetition filters, bigram-LM perplexity quality score
-        "doc_dup_spans": q_doc_dup_spans,
-        "doc_repetition": q_doc_repetition,
-        "doc_lm_score": q_doc_lm_score,
-        # new this session (rule 1): C4 blocklist filter, multinomial
-        # source-mix weights, TuneTrack per-day pitch tracker, DSIR
-        # importance weights
-        "doc_blocklist": q_doc_blocklist,
-        "doc_source_mix": q_doc_source_mix,
-        "events_tune_track": q_events_tune_track,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        # newest trio (rule 1): KMV cardinality sketch, ccnet perplexity
-        # buckets, dup-cluster histogram. To admit them, three UNCHANGED
-        # r4-driver-green rows park: bm25_topk_compacted (incremental keeps
-        # the streaming+compaction oracle sampled), dedup_canonical
-        # (dedup_cluster_stats composes the identical canonical chain
-        # end-to-end, so the subtree stays driver-sampled), ann_ivf_trained
-        # (whole ANN family r4-green; rotates back next round).
-        "corpus_kmv_sketch": q_corpus_kmv_sketch,
-        "doc_ccnet_bucket": q_doc_ccnet_bucket,
-        "dedup_cluster_stats": q_dedup_cluster_stats,
-        # newest (rule 1): SemDeDup — semantic dedup keep-list over the
-        # trained IVF clustering (admitted by parking bm25_topk_exhaustive,
-        # see the flagship block comment)
-        "dedup_semdedup": q_dedup_semdedup,
-        # -- rotation: last driver row is r1-r3 (rule 2)
-        "events_sliding_median": q_events_sliding_median,
-        "events_mkl": q_events_mkl,
-        "events_resample": q_events_resample,
-        "events_fir": q_events_fir,
-        "term_entropy": q_term_entropy,
-        "term_doc_freqs": q_term_doc_freqs,
-        "doc_lengths": q_doc_lengths,
-        "corpus_stats": q_corpus_stats,
-        "top_docs_by_len": q_top_docs_by_len,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "token_fingerprint": q_token_fingerprint,
-        "embedding_norms": q_embedding_norms,
-        "events_hourly": q_events_hourly,
-        "events_user_topk": q_events_user_topk,
-        "events_value_zscore": q_events_value_zscore,
-        "events_sliding_max": q_events_sliding_max,
-        "events_delta_stats": q_events_delta_stats,
-        "events_xcorr": q_events_xcorr,
-        "events_delta_regression": q_events_delta_regression,
-        "source_novelty": q_source_novelty,
-        # -- complex multi-stage paths worth re-verifying every round
-        # (dedup_shingle_jaccard / dedup_lsh_pairs park this round — their
-        # shared shingle→LSH→verify subtree stays driver-sampled through
-        # dedup_canonical, which composes it end-to-end; dedup_simhash parks
-        # behind dedup_simhash_pairs, which reads the same signature table)
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        # ---------------- driver window boundary (entry 50 ends above) ----
+        # -- flagship serving paths, rotation edition (rule 2): the
+        # r4-green hot/exhaustive/compacted trio rotates back in;
+        # rare/conjunctive/lang_filtered/phrase/incremental are r5-green
+        # and park for one round (same reader + kernel stays sampled
+        # through bm25_topk_hot; compacted keeps streaming+compaction)
         "bm25_topk_hot": q_bm25_topk_hot,
         "bm25_topk_exhaustive": q_bm25_topk_exhaustive,
         "bm25_topk_compacted": q_bm25_topk_compacted,
-        "dedup_canonical": q_dedup_canonical,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        # -- parked this round: all driver-green in CORRECTNESS_r04.json
-        # (dedup_simhash_pairs / dedup_embedding_pairs / ann_topk_cosine /
-        # events_sessionize rotated out to admit the blocklist/source-mix/
-        # tune-track/DSIR quartet; the embedding-distance subtree stays
-        # driver-sampled through ann_ivf_trained, the simhash table and
-        # sessionize through in-repo parity)
-        "events_sessionize": q_events_sessionize,
+        # -- round-6 changed-plan set (rule 1)
+        "doc_hps": q_doc_hps,
+        "doc_lengths": q_doc_lengths,
+        "top_docs_by_len": q_top_docs_by_len,
+        "corpus_stats": q_corpus_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_blocklist": q_doc_blocklist,
+        "doc_source_mix": q_doc_source_mix,
+        "doc_pack_windows": q_doc_pack_windows,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_tf_moments": q_doc_tf_moments,
+        "doc_tf_shape": q_doc_tf_shape,
+        "doc_tf_stats": q_doc_tf_stats,
+        "doc_tristimulus": q_doc_tristimulus,
+        "doc_cepstrum": q_doc_cepstrum,
+        "doc_rolloff": q_doc_rolloff,
+        "doc_envelope_residue": q_doc_envelope_residue,
+        "nmf_topics": q_nmf_topics,
+        "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
-        "ann_topk_cosine": q_ann_topk_cosine,
+        "dedup_semdedup": q_dedup_semdedup,
+        # -- rotation: last driver-green artifact is r4 (rule 2)
+        "dedup_canonical": q_dedup_canonical,
         "dedup_shingle_jaccard": q_dedup_shingle_jaccard,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
-        "dedup_simhash": q_dedup_simhash,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "events_sessionize": q_events_sessionize,
         "viterbi_states": q_viterbi_states,
-        "nmf_topics": q_nmf_topics,
         "hmm_fit": q_hmm_fit,
         "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "analyzer_family": q_analyzer_family,
@@ -5759,23 +5800,59 @@ def queries():
         "events_reassign": q_events_reassign,
         "events_scalogram": q_events_scalogram,
         "events_cepstrogram": q_events_cepstrogram,
-        "doc_tristimulus": q_doc_tristimulus,
-        "ann_ivf_label": q_ann_ivf_label,
-        "doc_envelope_residue": q_doc_envelope_residue,
-        "doc_cepstrum": q_doc_cepstrum,
-        "doc_rolloff": q_doc_rolloff,
         "events_yin_trough": q_events_yin_trough,
         "events_hourly_entropy": q_events_hourly_entropy,
         "events_synsq": q_events_synsq,
         "events_ncf_pitch": q_events_ncf_pitch,
         "events_wpt_rollup": q_events_wpt_rollup,
         "events_swt": q_events_swt,
+        # ---------------- driver window boundary (entry 50 ends above) ----
+        # -- parked: r5-green flagship serving rows (return r7)
+        "bm25_topk_rare": q_bm25_topk_rare,
+        "bm25_topk_conjunctive": q_bm25_topk_conjunctive,
+        "bm25_topk_lang_filtered": q_bm25_topk_lang_filtered,
+        "bm25_topk_phrase": q_bm25_topk_phrase,
+        "bm25_topk_incremental": q_bm25_topk_incremental,
+        # -- parked: r4-green overflow trio (family-covered, see header)
+        "ann_ivf_label": q_ann_ivf_label,
         "events_stft_pitch": q_events_stft_pitch,
         "events_pef_pitch": q_events_pef_pitch,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_tf_stats": q_doc_tf_stats,
-        "doc_tf_moments": q_doc_tf_moments,
-        "doc_tf_shape": q_doc_tf_shape,
+        # -- parked: all driver-green in CORRECTNESS_r05.json
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "events_lhs_pitch": q_events_lhs_pitch,
+        "events_nsgt": q_events_nsgt,
+        "events_pwt": q_events_pwt,
+        "events_phase_novelty": q_events_phase_novelty,
+        "events_phase_unwrap": q_events_phase_unwrap,
+        "events_timestretch": q_events_timestretch,
+        "events_pitchshift": q_events_pitchshift,
+        "events_rollup_pyramid": q_events_rollup_pyramid,
+        "doc_dup_spans": q_doc_dup_spans,
+        "doc_repetition": q_doc_repetition,
+        "doc_lm_score": q_doc_lm_score,
+        "events_tune_track": q_events_tune_track,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "corpus_kmv_sketch": q_corpus_kmv_sketch,
+        "doc_ccnet_bucket": q_doc_ccnet_bucket,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "events_sliding_median": q_events_sliding_median,
+        "events_mkl": q_events_mkl,
+        "events_resample": q_events_resample,
+        "events_fir": q_events_fir,
+        "term_entropy": q_term_entropy,
+        "term_doc_freqs": q_term_doc_freqs,
+        "token_fingerprint": q_token_fingerprint,
+        "embedding_norms": q_embedding_norms,
+        "events_hourly": q_events_hourly,
+        "events_user_topk": q_events_user_topk,
+        "events_value_zscore": q_events_value_zscore,
+        "events_sliding_max": q_events_sliding_max,
+        "events_delta_stats": q_events_delta_stats,
+        "events_xcorr": q_events_xcorr,
+        "events_delta_regression": q_events_delta_regression,
+        "source_novelty": q_source_novelty,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
     }
 
 

@@ -551,9 +551,15 @@ def build_index(
                 if os.path.exists(sub):
                     shutil.rmtree(sub)
 
+        # snappy for the build-side writes: the session default is zstd
+        # (right for long-lived text tables), but the docstore write is on
+        # the build's critical path and snappy encodes text ~2-3x faster at
+        # a size cost the scratch layout absorbs; the posting blobs below
+        # are varint streams (high-entropy bytes) where zstd is nearly pure
+        # CPU overhead (guide §2.3/§6: measure compression per payload)
         _docstore_df(with_pid, offsets, keep, cfg).write.partitionBy(
             "seg_id"
-        ).mode("append").parquet(docstore_dir)
+        ).mode("append").option("compression", "snappy").parquet(docstore_dir)
         mark("docstore")
 
     # corpus token totals from the docstore's doc_len column (columnar scan
@@ -570,7 +576,9 @@ def build_index(
     if missing:
         with_pid.select("pid", "text").mapInArrow(
             _make_segment_fn(offsets, keep, avgdl, cfg), schema=PARTIAL_SCHEMA
-        ).write.partitionBy("seg_id").mode("append").parquet(partial_dir)
+        ).write.partitionBy("seg_id").mode("append").option(
+            "compression", "snappy"
+        ).parquet(partial_dir)
         mark("partials")
 
         # lineage metrics per freshly-built partition
@@ -581,10 +589,16 @@ def build_index(
             .agg(
                 F.count(F.lit(1)).alias("terms"),
                 F.sum("df").alias("postings"),
+                # blob sizes from the per-block byte-length arrays (their sum
+                # IS each blob's length) — octet_length on the blobs forced
+                # this stats pass to read every blob column from parquet
                 F.sum(
-                    F.octet_length("doc_blob")
-                    + F.octet_length("tf_blob")
-                    + F.octet_length("dl_blob")
+                    F.aggregate("block_doc_bytes", F.lit(0).cast("long"),
+                                lambda a, x: a + x)
+                    + F.aggregate("block_tf_bytes", F.lit(0).cast("long"),
+                                  lambda a, x: a + x)
+                    + F.aggregate("block_dl_bytes", F.lit(0).cast("long"),
+                                  lambda a, x: a + x)
                 ).alias("bytes"),
             )
             .collect()
@@ -667,8 +681,10 @@ def merge_segments(
     )
     # final output partitions: fine enough that a Zipf-hot term range doesn't
     # become a straggler task (range partition sizes are skewed; small quanta
-    # pack into waves), coarse enough to keep file counts sane
-    Qf = max(cfg.index.build_partitions // 2, 2)
+    # pack into waves), coarse enough to keep file counts sane. One range per
+    # build partition: the r6 profile showed the merge running on half the
+    # cores (Qf = P/2 left 16 tasks on 32 cores).
+    Qf = max(cfg.index.build_partitions, 2)
 
     if P <= cfg.index.hot_term_partials * S:
         # SINGLE-PHASE: even the hottest term has ≤ hot_term_partials*S
@@ -678,10 +694,17 @@ def merge_segments(
         # partition AND makes every output file a term range (the kernel
         # emits term-sorted rows), so `term IN (...)` prunes files/row
         # groups at query time.
+        # persisted: repartitionByRange executes its child TWICE (range-
+        # boundary sampling pass + the real exchange), and the child here
+        # is a full scan of every blob column — without the persist the
+        # whole partial index is read and decoded from parquet twice
+        # (measured: merge was the largest warm build phase, 3.2 s of 8.7)
+        partials = partials.persist()
         merged = partials.repartitionByRange(Qf, "term").mapInArrow(
             _make_merge_stream(["term"]), schema=MERGED_SCHEMA
         )
-        merged.write.mode("overwrite").parquet(out_dir)
+        merged.write.mode("overwrite").option("compression", "snappy").parquet(out_dir)
+        partials.unpersist()
         return
 
     # TWO-PHASE (cluster scale: 10^3+ build partitions → Zipf-hot terms have
@@ -715,5 +738,5 @@ def merge_segments(
     merged = p1.repartitionByRange(Qf, "term").mapInArrow(
         _make_merge_stream(["term"]), schema=MERGED_SCHEMA
     )
-    merged.write.mode("overwrite").parquet(out_dir)
+    merged.write.mode("overwrite").option("compression", "snappy").parquet(out_dir)
     p1.unpersist()

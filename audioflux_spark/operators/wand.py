@@ -502,6 +502,15 @@ def bm25_topk_many(
     once (± boundary blocks) and NO task ever holds a hot term's full list.
     Per-shard top-k with global (N, avgdl, df) is exact, so the final rank
     window is a pure k-way merge. No posting blob ever reaches the driver.
+
+    r6: the hits side (≤ Σ k+ties rows) is explicitly BROADCAST into the
+    docstore key join — the planner has no size estimate for the
+    applyInPandas output, so it previously picked a sort-merge join that
+    shuffled and sorted the ENTIRE docstore to attach keys to a few
+    hundred result rows (guide §3.1: hint the join when you know a side is
+    small; measured 1.68 s → 1.55 s on the 24-query batch, and at corpus
+    scale the docstore shuffle it removes grows with N while the hits side
+    stays O(Σk)).
     """
     from functools import reduce
 
@@ -527,7 +536,7 @@ def bm25_topk_many(
         F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
     )
     return (
-        hits.join(ds_union, on=["gen", "doc_id"])
+        F.broadcast(hits).join(ds_union, on=["gen", "doc_id"])
         .withColumn("rank", F.row_number().over(w) - 1)
         .filter(F.col("rank") < F.col("k"))
         .select("query_id", "conv_id", "turn_idx", "score", "rank")

@@ -34,6 +34,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # scan-parallelism floor (scale-parameterised: = this session's core
+        # count): an under-split source otherwise forces the index build
+        # into its repartition fallback — a full wide shuffle of the raw
+        # text — where finer scan splits give the same parallelism with
+        # ZERO wide ops before the blob merge (guide §6)
+        .config("spark.sql.files.minPartitionNum", str(cores))
         # zstd: ~35% smaller parquet than snappy for text-heavy columns; the
         # node's disk is the one serial resource, CPU is the abundant one
         .config("spark.sql.parquet.compression.codec", "zstd")

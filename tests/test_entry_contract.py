@@ -78,41 +78,44 @@ def test_driver_window_composition():
     missing = [q for q in qs if q not in osql]
     assert not missing, f"entries without an oracle twin: {missing}"
     window = set(qs[:50])
-    round5_new_or_changed = {
-        # new this round
-        "events_lhs_pitch", "events_nsgt", "events_pwt",
-        "events_phase_novelty", "events_phase_unwrap",
-        "events_timestretch", "events_pitchshift",
-        "doc_dup_spans", "doc_repetition", "doc_lm_score",
-        "doc_blocklist", "doc_source_mix", "events_tune_track",
-        "doc_dsir_weights",
-        "corpus_kmv_sketch", "doc_ccnet_bucket", "dedup_cluster_stats",
-        "bm25_topk_conjunctive", "dedup_semdedup",
-        # plans switched to the shared _doc_tf artifact this round
-        "doc_hps", "term_entropy", "term_doc_freqs",
-        "token_fingerprint", "source_novelty",
-        # round-4 addition that slipped past the window policy (VERDICT r4)
-        "dedup_decontaminate",
-        # plans changed this round: offsets broadcast-joined / floor-div fix
-        "doc_pack_windows", "events_rollup_pyramid",
-        # phrase kernel input vectorized this round
-        "bm25_topk_phrase",
+    round6_changed = {
+        # r6 optimization round: plans moved to the shared _doc_tf artifact
+        "doc_tf_moments", "doc_tf_shape", "doc_tf_stats", "doc_tristimulus",
+        "doc_cepstrum", "doc_rolloff", "doc_envelope_residue", "nmf_topics",
+        "text_quality", "lang_id", "doc_blocklist", "corpus_stats",
+        "dedup_simhash", "dedup_simhash_pairs",
+        # plans moved to the _doc_lens spine (Σtf instead of re-tokenize)
+        "doc_lengths", "top_docs_by_len", "doc_pack_windows",
+        "doc_stratified_sample", "doc_source_mix",
+        # rank window removed (array-native spectrum fold)
+        "doc_hps",
+        # per-bucket BLAS pair kernel replaced the bucket self-join
+        "dedup_embedding_pairs", "dedup_semdedup",
     }
-    out = round5_new_or_changed - window
-    assert not out, f"round-5-critical queries outside the driver window: {out}"
-    # rotation rule: entries whose last driver-green artifact is r1-r3 must
-    # re-enter the window this round (tail slots go to oldest history)
-    stale_after_r4 = {
-        "events_sliding_median", "events_mkl", "events_resample",
-        "events_fir", "term_entropy", "term_doc_freqs", "doc_lengths",
-        "corpus_stats", "top_docs_by_len", "text_quality", "lang_id",
-        "token_fingerprint", "embedding_norms", "events_hourly",
-        "events_user_topk", "events_value_zscore", "events_sliding_max",
-        "events_delta_stats", "events_xcorr", "events_delta_regression",
-        "source_novelty", "dedup_exact", "dedup_minhash",
+    out = round6_changed - window
+    assert not out, f"round-6-changed queries outside the driver window: {out}"
+    # rotation rule: entries whose last driver-green artifact is r4 must
+    # re-enter the window this round (tail slots go to oldest history) —
+    # minus the three family-covered overflow rows documented in queries()
+    stale_after_r5 = {
+        "bm25_topk_hot", "bm25_topk_exhaustive", "bm25_topk_compacted",
+        "dedup_canonical", "dedup_shingle_jaccard", "dedup_lsh_pairs",
+        "ann_ivf_trained", "ann_topk_cosine", "events_sessionize",
+        "viterbi_states", "hmm_fit", "lineitem_pricing_summary",
+        "analyzer_family", "ngram_multires", "events_dct",
+        "events_goertzel", "events_czt", "events_stransform",
+        "events_hilbert", "events_reassign", "events_scalogram",
+        "events_cepstrogram", "events_yin_trough", "events_hourly_entropy",
+        "events_synsq", "events_ncf_pitch", "events_wpt_rollup",
+        "events_swt",
     }
-    stale_out = stale_after_r4 - window
+    stale_out = stale_after_r5 - window
     assert not stale_out, f"stale-history queries left outside window: {stale_out}"
+    overflow = {"ann_ivf_label", "events_stft_pitch", "events_pef_pitch"}
+    assert not (overflow & window), (
+        "overflow trio unexpectedly inside the window — recheck the 50-slot"
+        f" budget: {overflow & window}"
+    )
 
 
 def test_materialized_artifact_reuse(spark):
