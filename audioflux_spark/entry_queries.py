@@ -1037,6 +1037,19 @@ _MAT_VERSION = 1
 _MAT_ROOT = "/tmp/afspark_entry_idx"
 
 
+def _corpus_fp(sf_dir: str) -> str:
+    """Cheap content fingerprint of the corpus dir: size+mtime of
+    documents.parquet (the table every materialized artifact derives from).
+    Not cryptographic — it exists so an in-place regeneration of sf_dir
+    changes every artifact path tag."""
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(p)
+        return f"{st.st_size}:{int(st.st_mtime)}"
+    except OSError:
+        return "absent"
+
+
 def _materialized_table(
     spark: SparkSession, sf_dir: str, name: str, params: str, build
 ) -> DataFrame:
@@ -1048,11 +1061,14 @@ def _materialized_table(
     The manifest is the LAST write (same resume rule as the index builder):
     its absence marks a half-built artifact, which is rebuilt. `params`
     participates in the path tag so changing shingling/LSH parameters can
-    never serve a stale artifact."""
+    never serve a stale artifact, and so does a cheap corpus fingerprint
+    (documents.parquet size+mtime — ADVICE r5): regenerating the data at
+    sf_dir in place now invalidates every derived artifact instead of
+    silently serving the old corpus's rows."""
     import json as _json
 
     tag = hashlib.md5(
-        f"{sf_dir}:{name}:{params}:v{_MAT_VERSION}".encode()
+        f"{sf_dir}:{name}:{params}:v{_MAT_VERSION}:{_corpus_fp(sf_dir)}".encode()
     ).hexdigest()[:10]
     path = os.path.join(_MAT_ROOT, f"mat_{name}_{tag}")
     manifest = os.path.join(path, "manifest.json")
@@ -1469,6 +1485,11 @@ def _cosine_topk(spark, sf_dir, restrict_label: bool) -> DataFrame:
 
 EMB_NEAR_DUP_TAU = 0.30
 
+# semdedup's two shared subtrees, cached per (session, corpus dir) — see
+# _session_cached (ADVICE r5: per-invocation persists accumulated entries)
+_SEMDEDUP_PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+_SEMDEDUP_SCORED_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
 
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidate pairs: self-join WITHIN the
@@ -1570,13 +1591,15 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ivf_reader(spark, sf_dir)
     # the pair subtree feeds BOTH the precedence join and the member set —
-    # inline persist so the Σ|bucket|² self-join runs once, not twice
-    # (CacheManager dedupes by canonicalized plan across calls; the parked
-    # q_dedup_embedding_pairs plan is a different projection and unaffected)
-    pairs = (
-        _emb_dup_pairs(spark, sf_dir)
+    # persisted so the per-bucket pair kernel runs once, not twice. Cached
+    # per (session, sf_dir) via _session_cached (ADVICE r5): the previous
+    # per-invocation persist accumulated a new MEMORY_AND_DISK entry on
+    # every call in a long-lived session.
+    pairs = _session_cached(
+        _SEMDEDUP_PAIRS_CACHE, spark, sf_dir,
+        lambda: _emb_dup_pairs(spark, sf_dir)
         .select("vec_id_a", "vec_id_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     sym = pairs.select(
         F.col("vec_id_a").alias("x"), F.col("vec_id_b").alias("y")
@@ -1593,14 +1616,16 @@ def q_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # scored is referenced three times (both precedence sides + the final
     # member join) — persist the 3-column projection so the vectors
-    # artifact is scanned once, not three times
-    scored = (
-        v.join(F.broadcast(cents), "bucket")
+    # artifact is scanned once, not three times; session-cached like the
+    # pair subtree above (no per-invocation cache accumulation)
+    scored = _session_cached(
+        _SEMDEDUP_SCORED_CACHE, spark, sf_dir,
+        lambda: v.join(F.broadcast(cents), "bucket")
         .select(
             "vec_id", F.col("bucket").cast("long").alias("bucket"),
             _e6(cos).alias("cent_cos_e6"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
     )
     cx = scored.select(F.col("vec_id").alias("x"), F.col("cent_cos_e6").alias("ccx"))
     cy = scored.select(F.col("vec_id").alias("y"), F.col("cent_cos_e6").alias("ccy"))
