@@ -1485,6 +1485,11 @@ def _cosine_topk(spark, sf_dir, restrict_label: bool) -> DataFrame:
 
 EMB_NEAR_DUP_TAU = 0.30
 
+# Gram-kernel row-block size (module-level so the block-boundary unit test
+# can shrink it below real bucket sizes; production value bounds task
+# memory at blk·|bucket| doubles)
+_GRAM_BLK = 1024
+
 # semdedup's two shared subtrees, cached per (session, corpus dir) — see
 # _session_cached (ADVICE r5: per-invocation persists accumulated entries)
 _SEMDEDUP_PAIRS_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
@@ -1527,6 +1532,9 @@ def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reader = _ivf_reader(spark, sf_dir)
     tau = int(EMB_NEAR_DUP_TAU * 1e6)
+    # captured on the driver so it ships by VALUE in the task closure
+    # (module globals resolve against the executor's fresh import)
+    blk = _GRAM_BLK
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy().astype(np.int64)
@@ -1538,7 +1546,7 @@ def _emb_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_a: list = []
         out_b: list = []
         out_c: list = []
-        blk = 1024  # Gram computed in row blocks: memory ∝ blk·n, not n²
+        # Gram computed in row blocks: memory ∝ blk·n, not n²
         for i0 in range(0, n, blk):
             i1 = min(i0 + blk, n)
             cos = (X[i0:i1] @ X.T) / (nrm[i0:i1, None] * nrm[None, :])
