@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from audioflux_spark.config import DEFAULT, EngineConfig, IndexConfig
-from audioflux_spark.functions.analyzer import doc_len_col, tokens_col
+from audioflux_spark.functions.analyzer import tokens_col
 from audioflux_spark.operators.indexer import build_index
 from audioflux_spark.operators.tokenize import corpus_stats, doc_stats, term_freqs
 from audioflux_spark.operators.topk import (
@@ -69,24 +69,31 @@ def _e6(col) -> F.Column:
 
 
 def _session_cached(cache: dict, spark: SparkSession, sf_dir: str, build):
-    """Materialize-once cache keyed by (owning session, corpus dir).
+    """Materialize-once cache keyed by (owning session, corpus dir, corpus
+    fingerprint).
 
     A cached DataFrame's plan is bound to the SparkSession that created it;
     if that session was stopped and a new one created in the same process
     (multi-fixture test runs, driver re-init), replaying the cached plan
     fails against a dead session. Entries therefore record their owner and
     are rebuilt (old persist evicted best-effort) whenever the caller's
-    session differs."""
-    ent = cache.get(sf_dir)
+    session differs — and, r6, whenever the corpus fingerprint changes
+    (documents.parquet size+mtime): regenerating a corpus dir in place
+    mid-session would otherwise keep serving the old corpus's persisted
+    rows. One os.stat per lookup; entries for a stale fingerprint are
+    evicted, so the cache stays bounded by live (dir, fingerprint) pairs."""
+    key = f"{sf_dir}|{_corpus_fp(sf_dir)}"
+    ent = cache.get(key)
     if ent is not None and ent[0] is spark:
         return ent[1]
-    if ent is not None:
+    stale = [k for k in cache if k.startswith(f"{sf_dir}|")]
+    for k in stale:
         try:
-            ent[1].unpersist()
+            cache.pop(k)[1].unpersist()
         except Exception:
             pass  # previous session already stopped; its cache died with it
     df = build()
-    cache[sf_dir] = (spark, df)
+    cache[key] = (spark, df)
     return df
 
 
@@ -481,6 +488,9 @@ def _doc_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_cached(_DOC_TF_CACHE, spark, sf_dir, build)
 
 
+_DLEN_CACHE: dict[str, tuple[SparkSession, DataFrame]] = {}
+
+
 def _doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, len) for EVERY document — Σtf from the shared _doc_tf
     artifact left-joined back to the doc_id spine (token-less docs keep
@@ -488,18 +498,27 @@ def _doc_lens(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (same analyzer, tf partitions the token count), so
     doc-length consumers read one parquet int column + the cached artifact
     instead of re-running the corpus regex tokenize per query (r6: the
-    pack/stratified/source-mix trio each paid 1-2 full tokenize scans)."""
-    lens = _doc_tf(spark, sf_dir).groupBy("doc_id").agg(
-        F.sum("tf").alias("len")
-    )
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id")
-        .join(lens, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce(F.col("len"), F.lit(0)).cast("long").alias("len")
+    pack/stratified/source-mix trio each paid 1-2 full tokenize scans).
+    Session-cached like the sibling _distinct_tokens spine — pack_windows
+    alone executes it twice per call (bucket totals + cumsum passes)."""
+    from pyspark import StorageLevel
+
+    def build() -> DataFrame:
+        lens = _doc_tf(spark, sf_dir).groupBy("doc_id").agg(
+            F.sum("tf").alias("len")
         )
-    )
+        return (
+            _docs(spark, sf_dir)
+            .select("doc_id")
+            .join(lens, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("len"), F.lit(0)).cast("long").alias("len"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    return _session_cached(_DLEN_CACHE, spark, sf_dir, build)
 
 
 def _distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

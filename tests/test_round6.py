@@ -159,3 +159,28 @@ def test_simhash_tf_weighting_matches_occurrences(spark):
         bands.append(v.cast("long").alias(f"sim{j}"))
     want = agg.select("doc_id", *bands).orderBy("doc_id").toPandas()
     assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_session_cache_evicts_on_corpus_change(spark, tmp_path):
+    """Regenerating a corpus dir in place must invalidate the in-session
+    cached subtrees (the r6 corpus-fingerprint key), not serve stale rows."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for f in ("documents.parquet",):
+        shutil.copy(f"{src}/{f}", d / f)
+    sf = str(d)
+    first = eq._doc_lens(spark, sf)
+    n1 = first.count()
+    again = eq._doc_lens(spark, sf)
+    assert again is first  # cache hit while the corpus is unchanged
+    # regenerate in place: halve the corpus (different size => new fingerprint)
+    import pandas as pd
+
+    pdf = pd.read_parquet(d / "documents.parquet")
+    pdf.iloc[: len(pdf) // 2].to_parquet(d / "documents.parquet", index=False)
+    rebuilt = eq._doc_lens(spark, sf)
+    assert rebuilt is not first
+    assert rebuilt.count() == len(pdf) // 2 != n1
