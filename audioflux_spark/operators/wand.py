@@ -348,6 +348,129 @@ def _docstore_keys(docstore_dir: str, doc_ids: np.ndarray) -> pd.DataFrame:
     return tbl.to_pandas()
 
 
+def _make_score_shard(
+    gen_docstore: dict[int, str],
+    gen_avgdl: dict[int, float],
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    resolve_keys: bool,
+):
+    """Per-(query, gen, shard) scoring function over READER-CONSTANT state
+    only (no per-query capture) — so the single-query path can build its
+    serialized UDF once per reader and reuse it across queries."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        k = int(pdf["k"].iloc[0])
+        gen_id = int(pdf["gen"].iloc[0])
+        rows = pdf.to_dict("records")  # one C-level conversion, no .iloc loop
+        idfs = [idf_value(n_docs, int(r["gdf"])) for r in rows]
+        ga = gen_avgdl.get(gen_id, avgdl)
+        ub_scale = max(1.0, avgdl / ga) if ga else 1.0
+        doc_ids, scores = wand_topk_kernel(
+            rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale,
+            doc_lo=int(pdf["range_lo"].iloc[0]),
+            doc_hi=int(pdf["range_hi"].iloc[0]),
+        )
+        out = pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "gen": gen_id,
+                "doc_id": doc_ids,
+                "score": scores,
+                "k": k,
+            }
+        )
+        if resolve_keys:
+            if len(out):
+                keys = _docstore_keys(gen_docstore[gen_id], doc_ids)
+                out = out.merge(keys, on="doc_id", how="left")
+            else:
+                out = out.assign(
+                    conv_id=pd.Series(dtype=str), turn_idx=pd.Series(dtype="int32")
+                )
+            out = out[
+                ["query_id", "gen", "doc_id", "conv_id", "turn_idx", "score", "k"]
+            ]
+        return out
+
+    return score_shard
+
+
+_HITS_SCHEMA = "query_id string, gen int, doc_id long, score double, k int"
+_HITS_SCHEMA_KEYS = (
+    "query_id string, gen int, doc_id long, conv_id string, "
+    "turn_idx int, score double, k int"
+)
+
+
+def _serving_udf(reader: IndexReader, resolve_keys: bool):
+    """(pandas_udf, plain_fn, schema) for the single-(query, gen, shard)
+    scoring task, cached on the reader instance. The closure captures only
+    reader-constant state, so one serialized UDF serves every query — the
+    per-call mapInPandas path re-cloudpickles the scoring closure on EVERY
+    query (~40 ms of the ~0.3 s single-query latency; guide §4: pay
+    heavyweight init once)."""
+    cache = getattr(reader, "_wand_udf_cache", None)
+    if cache is None:
+        cache = {}
+        reader._wand_udf_cache = cache
+    hit = cache.get(resolve_keys)
+    if hit is not None:
+        return hit
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    score_shard = _make_score_shard(
+        {g.gen_id: os.path.join(g.dir, "docstore") for g in reader.generations},
+        {g.gen_id: (g.meta.encode_avgdl or g.meta.avgdl) for g in reader.generations},
+        reader.n_docs,
+        reader.avgdl,
+        reader.meta.k1,
+        reader.meta.b,
+        resolve_keys,
+    )
+
+    def score_one(batches):
+        frames = [p for p in batches if len(p)]
+        if frames:
+            yield score_shard(pd.concat(frames, ignore_index=True))
+
+    schema = _HITS_SCHEMA_KEYS if resolve_keys else _HITS_SCHEMA
+    udf = pandas_udf(
+        score_one, returnType=schema,
+        functionType=PythonEvalType.SQL_MAP_PANDAS_ITER_UDF,
+    )
+    cache[resolve_keys] = {"udf": udf, "fn": score_one, "schema": schema}
+    return cache[resolve_keys]
+
+
+def _map_in_pandas_cached(df: DataFrame, entry, cols: list[str]) -> DataFrame:
+    """df.mapInPandas with a pre-built (already-serialized) pandas UDF.
+
+    Replicates mapInPandas's four lines (pyspark/sql/pandas/map_ops.py)
+    against the cached UDF object, whose ``_judf`` — the cloudpickled
+    function + JVM UserDefinedPythonFunction — is created once and reused
+    (pyspark caches it on the UserDefinedFunction instance). The applied
+    UDF *expression* (UDF over the fixed serving column names, unresolved
+    attributes) is likewise built once and re-resolved against each query's
+    child plan, skipping ~20 per-query Column py4j round-trips. Falls back
+    to the public API (identical semantics, per-call pickling) if the
+    private surface moves."""
+    udf, fn, schema = entry["udf"], entry["fn"], entry["schema"]
+    try:
+        jc = entry.get("jc")
+        if jc is None:
+            jc = udf(*[F.col(c) for c in cols])._jc
+            entry["jc"] = jc
+        jdf = df._jdf.mapInPandas(jc, False, df._build_java_profile(None))
+        return DataFrame(jdf, df.sparkSession)
+    except Exception:
+        return df.mapInPandas(fn, schema=schema)
+
+
 def _sharded_hits(
     reader: IndexReader,
     queries: list[tuple[str, str, int]],
@@ -386,6 +509,63 @@ def _sharded_hits(
     # groups (or the cached table) without touching blob columns — a join
     # alone would probe every segment row
     terms_all = sorted({t for _, t, _ in qrows})
+
+    if (
+        len(queries) == 1
+        and len(reader.generations) == 1
+        and reader.generations[0].meta.n_docs <= shard_docs
+    ):
+        # SERVING FAST PATH (single query, single generation, single shard):
+        # the general construction below costs ~0.15 s of DRIVER time per
+        # query — a dozen withColumn/drop py4j round-trips plus a fresh
+        # cloudpickle of the scoring closure inside mapInPandas — which is
+        # ~40% of single-query latency. Build the identical plan as ONE
+        # filter + ONE select (term-IN pushdown unchanged) and score through
+        # the reader-cached, pre-serialized UDF. Same columns, same kernel,
+        # same results.
+        g = reader.generations[0]
+        qid, _text, k0 = queries[0]
+        cached = getattr(g, "_wand_fast_cols", None)
+        if cached is None:
+            keep = [
+                c for c in g.segments.columns
+                if c not in ("pos_blob", "block_pos_bytes")
+            ]
+            # reader-constant Column expressions built once (unresolved
+            # attribute/literal trees are immutable — safe to re-resolve
+            # against each query's child plan); only query_id/k vary per call
+            cached = (
+                keep,
+                [
+                    F.lit(g.gen_id).alias("gen"),
+                ],
+                [
+                    F.col("df").alias("gdf"),
+                    F.lit(0).alias("shard"),
+                    F.lit(0).cast("long").alias("range_lo"),
+                    F.lit(int(g.meta.n_docs)).cast("long").alias("range_hi"),
+                ],
+            )
+            g._wand_fast_cols = cached
+        keep, gen_cols, tail_cols = cached
+        plan = (
+            g.segments.filter(F.col("term").isin(terms_all))
+            .select(
+                *keep,
+                *gen_cols,
+                F.lit(qid).alias("query_id"),
+                F.lit(int(k0)).alias("k"),
+                *tail_cols,
+            )
+            .coalesce(1)
+        )
+        plan_cols = keep + [
+            "gen", "query_id", "k", "gdf", "shard", "range_lo", "range_hi"
+        ]
+        return _map_in_pandas_cached(
+            plan, _serving_udf(reader, resolve_keys), plan_cols
+        )
+
     seg_union = reduce(
         DataFrame.unionByName,
         [
@@ -431,57 +611,12 @@ def _sharded_hits(
             _make_shard_splitter(gen_ndocs, shard_docs), schema=_SHARDED_SCHEMA
         )
 
-    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        k = int(pdf["k"].iloc[0])
-        gen_id = int(pdf["gen"].iloc[0])
-        rows = pdf.to_dict("records")  # one C-level conversion, no .iloc loop
-        idfs = [idf_value(n_docs, int(r["gdf"])) for r in rows]
-        ga = gen_avgdl.get(gen_id, avgdl)
-        ub_scale = max(1.0, avgdl / ga) if ga else 1.0
-        doc_ids, scores = wand_topk_kernel(
-            rows, n_docs, avgdl, k1, b, k, idfs=idfs, ub_scale=ub_scale,
-            doc_lo=int(pdf["range_lo"].iloc[0]),
-            doc_hi=int(pdf["range_hi"].iloc[0]),
-        )
-        out = pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].iloc[0],
-                "gen": gen_id,
-                "doc_id": doc_ids,
-                "score": scores,
-                "k": k,
-            }
-        )
-        if resolve_keys:
-            if len(out):
-                keys = _docstore_keys(gen_docstore[gen_id], doc_ids)
-                out = out.merge(keys, on="doc_id", how="left")
-            else:
-                out = out.assign(
-                    conv_id=pd.Series(dtype=str), turn_idx=pd.Series(dtype="int32")
-                )
-            out = out[
-                ["query_id", "gen", "doc_id", "conv_id", "turn_idx", "score", "k"]
-            ]
-        return out
-
-    out_schema = "query_id string, gen int, doc_id long, score double, k int"
-    if resolve_keys:
-        out_schema = (
-            "query_id string, gen int, doc_id long, conv_id string, "
-            "turn_idx int, score double, k int"
-        )
-    if single_shard and len(queries) == 1 and len(reader.generations) == 1:
-        # exactly one score group → coalesce(1) + mapInPandas scores it in a
-        # single NARROW task: no shuffle, no AQE stage, one Spark job — the
-        # serving-latency shape for interactive single queries
-        def score_one(batches):
-            frames = [p for p in batches if len(p)]
-            if frames:
-                yield score_shard(pd.concat(frames, ignore_index=True))
-
-        return sharded.coalesce(1).mapInPandas(score_one, schema=out_schema)
-
+    score_shard = _make_score_shard(
+        gen_docstore, gen_avgdl, n_docs, avgdl, k1, b, resolve_keys
+    )
+    out_schema = _HITS_SCHEMA_KEYS if resolve_keys else _HITS_SCHEMA
+    # (the single-query/single-gen/single-shard case returned above through
+    # the cached-UDF fast path — this is the distributed many-group shape)
     return sharded.groupBy("query_id", "gen", "shard").applyInPandas(
         score_shard, schema=out_schema
     )
@@ -516,13 +651,12 @@ def bm25_topk_many(
 
     from pyspark.sql.window import Window
 
-    spark = reader.spark
-    empty = spark.createDataFrame(
-        [], "query_id string, conv_id string, turn_idx int, score double, rank int"
-    )
     hits = _sharded_hits(reader, queries, shard_docs)
     if hits is None:
-        return empty
+        return reader.spark.createDataFrame(
+            [],
+            "query_id string, conv_id string, turn_idx int, score double, rank int",
+        )
     ds_union = reduce(
         DataFrame.unionByName,
         [
@@ -552,28 +686,34 @@ def bm25_topk_indexed(
     """Single-query top-k via the compressed index; returns
     (conv_id, turn_idx, score) in (score desc, conv_id, turn_idx) order.
 
-    Serving-latency shape: ONE Spark job. The scoring kernel runs in executor
-    tasks against byte-sliced blobs (same path as bm25_topk_many), and each
-    scoring task also resolves its hits' (conv_id, turn_idx) keys against the
-    generation's docstore via a pyarrow row-group-pruned read (docIDs are
-    sorted within docstore partitions, so the isin filter reads ~k row
-    groups). The driver collects only the ≤k+ties RESULT rows — never posting
-    blobs — and performs the final k-way merge in pandas (bounded by the tie
-    group, not the corpus). Multi-generation stats (N, avgdl, df) are global,
-    so scores are exact global BM25; ties resolve by the real (conv_id,
-    turn_idx) keys (rank-identical to the oracle regardless of docID
-    assignment order)."""
-    spark = reader.spark
-    empty = spark.createDataFrame([], "conv_id string, turn_idx int, score double")
+    Serving-latency shape: ONE Spark job at collect time. The scoring kernel
+    runs in executor tasks against byte-sliced blobs (same path as
+    bm25_topk_many), and each scoring task also resolves its hits'
+    (conv_id, turn_idx) keys against the generation's docstore via a pyarrow
+    row-group-pruned read (docIDs are sorted within docstore partitions, so
+    the isin filter reads ~k row groups). The final top-k is Sort+Limit over
+    the ≤k+ties hit rows — planned as TakeOrderedAndProject, so the driver
+    receives only RESULT rows, never posting blobs. Multi-generation stats
+    (N, avgdl, df) are global, so scores are exact global BM25; ties resolve
+    by the real (conv_id, turn_idx) keys (rank-identical to the oracle
+    regardless of docID assignment order)."""
     hits = _sharded_hits(reader, [("q", query_text, k)], shard_docs, resolve_keys=True)
     if hits is None or k <= 0:
-        return empty
-    out = hits.select("conv_id", "turn_idx", "score").toPandas()  # ≤ k+ties/shard
-    if not len(out):
-        return empty
-    out = out.sort_values(
-        ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
-    ).head(k)
-    return spark.createDataFrame(
-        out, schema="conv_id string, turn_idx int, score double"
+        # empty frame built only on this cold branch — the createDataFrame
+        # (py4j + DDL parse) cost ~15 ms per query when unconditional
+        return reader.spark.createDataFrame(
+            [], "conv_id string, turn_idx int, score double"
+        )
+    # final top-k as Sort+Limit over the ≤ k+ties/shard hit rows: Spark plans
+    # it as TakeOrderedAndProject (bounded per-partition heaps, no exchange),
+    # so the whole query stays ONE job at collect time — the previous
+    # toPandas-merge-createDataFrame shape paid a second (trivial but
+    # job-scheduled) round trip of ~30-80 ms per query just to re-wrap the
+    # driver-merged rows. Full ordering key ⇒ deterministic, identical rows.
+    return (
+        hits.select("conv_id", "turn_idx", "score")
+        .orderBy(
+            F.col("score").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
+        )
+        .limit(k)
     )

@@ -184,3 +184,89 @@ def test_session_cache_evicts_on_corpus_change(spark, tmp_path):
     rebuilt = eq._doc_lens(spark, sf)
     assert rebuilt is not first
     assert rebuilt.count() == len(pdf) // 2 != n1
+
+
+# ---- serving fast path (cached-UDF single-query shape) ----
+
+
+@pytest.fixture(scope="module")
+def _serving_index(spark, transcripts_sdf, tmp_path_factory):
+    from audioflux_spark.operators.indexer import build_index
+
+    d = str(tmp_path_factory.mktemp("serving_idx") / "idx")
+    build_index(spark, transcripts_sdf, d)
+    return d
+
+
+def test_serving_fast_path_matches_general(spark, _serving_index, queries):
+    """The single-query cached-UDF fast path must return exactly what the
+    general (applyInPandas) path computes — same rows, same order."""
+    from pyspark.sql import functions as F
+
+    from audioflux_spark.operators.wand import _sharded_hits, bm25_topk_indexed
+    from audioflux_spark.sources.segments import IndexReader
+
+    reader = IndexReader(spark, _serving_index)
+    keys = (
+        reader.docstore.select("doc_id", "conv_id", "turn_idx").toPandas()
+        .set_index("doc_id")
+    )
+    for q in queries[:6]:
+        fast = bm25_topk_indexed(reader, q.query_text, q.k).collect()
+        # two queries => the general (groupBy+applyInPandas) path
+        hits = _sharded_hits(
+            reader,
+            [("q", q.query_text, q.k), ("zz", "zzz_no_such_term", 1)],
+            10**18,
+        )
+        gen = []
+        for r in hits.filter(F.col("query_id") == "q").collect():
+            conv_id, turn_idx = keys.loc[int(r["doc_id"])]
+            gen.append((-r["score"], conv_id, int(turn_idx)))
+        gen = sorted(gen)[: q.k]
+        got = [(-r["score"], r["conv_id"], int(r["turn_idx"])) for r in fast]
+        assert got == gen, q.query_text
+
+
+def test_serving_udf_cached_per_reader(spark, _serving_index, queries):
+    """The serialized scoring UDF and its applied expression are built once
+    per reader and reused across queries (the per-query cloudpickle was
+    ~40 ms of single-query latency)."""
+    from audioflux_spark.operators.wand import bm25_topk_indexed
+    from audioflux_spark.sources.segments import IndexReader
+
+    reader = IndexReader(spark, _serving_index)
+    bm25_topk_indexed(reader, queries[0].query_text, 5).collect()
+    cache = reader._wand_udf_cache
+    entry = cache[True]
+    judf_before = entry["udf"].func and entry["udf"]  # same wrapped object
+    jc_before = entry.get("jc")
+    assert jc_before is not None
+    bm25_topk_indexed(reader, queries[1].query_text, 5).collect()
+    assert reader._wand_udf_cache is cache
+    assert cache[True]["udf"] is judf_before
+    assert cache[True]["jc"] is jc_before
+
+
+def test_serving_fallback_public_mapinpandas(spark, _serving_index, queries, monkeypatch):
+    """If the private mapInPandas surface moves, the fast path must fall
+    back to the public API with identical results."""
+    import audioflux_spark.operators.wand as wand
+    from audioflux_spark.sources.segments import IndexReader
+
+    reader = IndexReader(spark, _serving_index)
+    q = queries[0]
+    want = wand.bm25_topk_indexed(reader, q.query_text, q.k).collect()
+
+    reader2 = IndexReader(spark, _serving_index)
+
+    class _Boom:
+        def __call__(self, *a, **kw):
+            raise RuntimeError("private surface moved")
+
+    def broken_map(df, entry, cols):
+        return df.mapInPandas(entry["fn"], schema=entry["schema"])
+
+    monkeypatch.setattr(wand, "_map_in_pandas_cached", broken_map)
+    got = wand.bm25_topk_indexed(reader2, q.query_text, q.k).collect()
+    assert got == want
