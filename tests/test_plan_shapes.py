@@ -69,3 +69,20 @@ def test_exhaustive_topk_is_bounded(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_indexed_serving_single_job_shape(spark):
+    """The single-query serving path must stay ONE job: term-pruned scan →
+    coalesce → MapInPandas → TakeOrderedAndProject, with NO Exchange (an
+    exchange here means the latency path grew a shuffle stage)."""
+    import audioflux_spark.entry_queries as eq
+    from audioflux_spark.operators.wand import bm25_topk_indexed
+
+    reader = eq._reader(spark, SF_DIR)
+    df = bm25_topk_indexed(reader, "join hash row", 10)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "Coalesce" in plan
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan
